@@ -1,0 +1,133 @@
+"""Throughput benchmark — ONE JSON line on stdout.
+
+Metric: 224x224 SAR patches/sec/chip, train fwd+bwd on the primary BASELINE
+config (UNet-ResNet18 flood segmentation, 6 input channels = 3 acquisitions
+x vv/vh, 3 classes, weighted CE) in bf16. vs_baseline is measured against
+the BASELINE.json north-star of 4,000 patches/sec/chip on v5e.
+
+Usage: python bench.py [--model unet|snunet|vit] [--batch N] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PATCHES_PER_SEC = 4000.0
+
+
+def build_config(model: str, batch: int):
+    cfg = {
+        "task": "cd" if model == "snunet" else "segmentation",
+        "method": model,
+        "num_classes": 3,
+        "mixed_precision": True,
+        "batch_size": batch,
+        "weighted": True,
+        "track": "RandomEvents",
+        "class_weights": [0.3715753140309927, 14.009780283125977, 8.20405370357821],
+        "loss_function": "cross_entropy",
+        "inputs": ["pre_event_1", "post_event"] if model == "snunet" else ["pre_event_1", "pre_event_2", "post_event"],
+        "channels": ["vv", "vh"],
+        "dem": False,
+        "log_zone_metrics": False,
+        "log_AOI_metrics": False,
+        "num_channels": 2 if model == "snunet" else 6,
+    }
+    return cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="unet", choices=["unet", "snunet", "vit"])
+    p.add_argument("--batch", type=int, default=0)  # 0 = auto
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    args = p.parse_args()
+
+    from kurosiwo_tpu.models.factory import (
+        initialize_cd_model,
+        initialize_segmentation_model,
+    )
+    from kurosiwo_tpu.ops import optim
+    from kurosiwo_tpu.ops.losses import create_loss
+    from kurosiwo_tpu.ops.metrics import MetricState
+    from kurosiwo_tpu.parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
+    from kurosiwo_tpu.training.engine import example_inputs_for_task
+    from kurosiwo_tpu.training.state import create_train_state
+    from kurosiwo_tpu.training.steps import make_train_step
+
+    n_dev = len(jax.devices())
+    batch = args.batch or (128 * n_dev)
+    cfg = build_config(args.model, batch)
+    task = "cd" if cfg["task"] == "cd" else "segmentation"
+    mcfg = {"backbone": "resnet18", "learning_rate": 1e-3, "base_channel": 32, "optimizer": "adam"}
+
+    if task == "cd":
+        model = initialize_cd_model(cfg, mcfg)
+    else:
+        model = initialize_segmentation_model(cfg, mcfg)
+
+    plan = create_mesh()
+    tx = optim.create_optimizer(cfg, mcfg, task)
+    rng = jax.random.PRNGKey(0)
+    state, _ = create_train_state(model, tx, rng, example_inputs_for_task(task, cfg, 2, 224))
+    criterion = create_loss(cfg, mode="train")
+    step_fn = make_train_step(model, tx, criterion, cfg, mcfg, task)
+
+    bsh, rep = batch_sharding(plan), replicated(plan)
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh, rep, rep, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0,),
+    )
+
+    rs = np.random.RandomState(0)
+    host_batch = {
+        "post": rs.randn(batch, 224, 224, 2).astype(np.float32),
+        "pre1": rs.randn(batch, 224, 224, 2).astype(np.float32),
+        "pre2": rs.randn(batch, 224, 224, 2).astype(np.float32),
+        "mask": rs.randint(0, 4, (batch, 224, 224)).astype(np.int32),
+        "clz": rs.randint(1, 4, (batch,)).astype(np.int32),
+        "activation": np.full((batch,), 130, np.int32),
+        "sample_weight": np.ones((batch,), np.float32),
+    }
+    device_batch = shard_batch(plan, host_batch)
+    metric = MetricState.create()
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    # warmup (compile); a host fetch forces real completion — on the axon
+    # tunnel block_until_ready can return before remote execution finishes
+    for _ in range(args.warmup):
+        state, metric, loss = jit_step(state, device_batch, metric, lr, rng)
+    _ = float(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metric, loss = jit_step(state, device_batch, metric, lr, rng)
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = args.steps * batch / dt
+    per_chip = patches_per_sec / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": f"224x224 SAR patches/sec/chip (train fwd+bwd, {args.model}, bf16, batch {batch})",
+                "value": round(per_chip, 2),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

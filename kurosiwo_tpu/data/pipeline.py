@@ -1,0 +1,211 @@
+"""Prefetching host loader -> fixed batch structs of numpy arrays.
+
+Replaces the reference's torch DataLoader stack (utilities/utilities.py:73-126
++ Dataset.__getitem__): a thread pool decodes tiles, a seeded sampler picks
+indices (50/50 positive/negative oversampling parity with Dataset.py:641-651,
+made reproducible via a dedicated np.random.Generator), batches are assembled
+as contiguous NHWC arrays and double-buffered ahead of the training step.
+
+Batch struct (numpy, NHWC):
+  post, pre1, pre2 : (B, H, W, C) float32   — scaled acquisitions
+  mask             : (B, H, W)    int32     — labels {0,1,2,3}
+  valid            : (B, H, W)    int32
+  dem              : (B, H, W, 1) float32   — only when config["dem"]
+  clz, activation  : (B,) int32
+  sample_weight    : (B,) float32           — 0 for eval padding samples
+  *_sv1/_sv2       : (B, C) float32         — scale vars when scale_input set
+
+Eval splits pad the final partial batch to full size (sample_weight=0) so the
+jitted eval step never recompiles on a ragged last batch — the reference
+instead ships a ragged batch (drop_last=False) which would retrace under jit.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from .index import GridIndex, Record
+from .normalize import compute_min_max_stats, scale_img
+from .synthetic import synthetic_raw_sample, synthetic_records
+from .tiles import RawSample, read_raw_sample
+
+
+def _needs_stats(config) -> bool:
+    mode = config.get("scale_input")
+    return mode in ("min-max", "custom") or isinstance(mode, (list, tuple))
+
+
+class Loader:
+    """Iterable over batches for one split."""
+
+    def __init__(self, mode: str, config: dict, seed: int = 999, synthetic: bool | None = None):
+        self.mode = mode
+        self.config = config
+        self.batch_size = int(config["batch_size"])
+        self.seed = seed
+        self.workers = int(config.get("num_workers", 8)) or 1
+
+        root = Path(config.get("root_path", "."))
+        if synthetic is None:
+            synthetic = bool(config.get("synthetic_data")) or not (root / "data").exists()
+        self.synthetic = synthetic
+
+        if synthetic:
+            n = int(config.get("synthetic_size", {"train": 256, "val": 64, "test": 64}.get(mode, 64)))
+            acts = config.get(f"{'train' if mode == 'train' else mode}_acts") or [130]
+            self.records = synthetic_records(n, list(acts), seed)
+            self.positive_records = [r for r in self.records if r.positive]
+            self.negative_records = [r for r in self.records if not r.positive]
+            self.stats = None
+        else:
+            index = GridIndex(mode, config)
+            self.records = index.records
+            self.positive_records = index.positive_records
+            self.negative_records = index.negative_records
+            self.stats = None
+            if _needs_stats(config):
+                all_acts = list(config["train_acts"]) + list(config["val_acts"]) + list(config["test_acts"])
+                self.stats = compute_min_max_stats(self.records, str(root), config)
+
+        self.oversampling = bool(config.get("oversampling")) and mode == "train"
+        self._rng = np.random.default_rng(seed + hash(mode) % 65536)
+        self._epoch = 0
+
+    # -- sampling ---------------------------------------------------------
+    def __len__(self):
+        n = len(self.records)
+        if self.mode == "train":
+            return n // self.batch_size  # drop_last=True parity
+        return -(-n // self.batch_size)
+
+    def num_samples(self):
+        return len(self.records)
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.records)
+        if self.mode != "train":
+            return np.arange(n)
+        if self.oversampling and self.negative_records:
+            # 50/50 positive/negative draws, seeded (Dataset.py:641-651)
+            draws = []
+            npos, nneg = len(self.positive_records), len(self.negative_records)
+            by_id = {id(r): i for i, r in enumerate(self.records)}
+            pos_ids = [by_id[id(r)] for r in self.positive_records]
+            neg_ids = [by_id[id(r)] for r in self.negative_records]
+            for _ in range(n):
+                if self._rng.integers(0, 2) == 0:
+                    draws.append(pos_ids[self._rng.integers(0, npos)])
+                else:
+                    draws.append(neg_ids[self._rng.integers(0, nneg)])
+            return np.asarray(draws)
+        perm = self._rng.permutation(n)
+        return perm
+
+    # -- decode -----------------------------------------------------------
+    def _read(self, record: Record) -> RawSample:
+        if self.synthetic:
+            return synthetic_raw_sample(record, self.config, seed=self.seed)
+        return read_raw_sample(str(self.config.get("root_path", ".")), record, self.config)
+
+    def _process(self, record: Record) -> dict:
+        raw = self._read(record)
+        cfg = self.config
+        out: dict = {}
+        scale_mode = cfg.get("scale_input")
+        if scale_mode is not None:
+            valid_bool = raw.valid == 1
+            sv = {}
+            for name, img in (("flood", raw.post), ("pre1", raw.pre1), ("pre2", raw.pre2)):
+                v1, v2, scaled = scale_img(img, valid_bool, name, raw.activation, cfg, self.stats)
+                sv[name] = (np.asarray(v1, np.float32), np.asarray(v2, np.float32))
+                out[{"flood": "post", "pre1": "pre1", "pre2": "pre2"}[name]] = scaled.astype(np.float32)
+            for name in ("flood", "pre1", "pre2"):
+                out[f"{name}_sv1"], out[f"{name}_sv2"] = sv[name]
+        else:
+            out["post"], out["pre1"], out["pre2"] = raw.post, raw.pre1, raw.pre2
+        out["mask"] = raw.mask.astype(np.int32)
+        out["valid"] = raw.valid.astype(np.int32)
+        if cfg.get("dem"):
+            out["dem"] = (
+                raw.dem.astype(np.float32)
+                if raw.dem is not None
+                else np.zeros(raw.post.shape[:2] + (1,), np.float32)
+            )
+        out["clz"] = np.int32(raw.clz)
+        out["activation"] = np.int32(raw.activation)
+        out["sample_weight"] = np.float32(1.0)
+        return out
+
+    @staticmethod
+    def _collate(samples: list[dict]) -> dict:
+        keys = samples[0].keys()
+        return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+    def _pad(self, samples: list[dict]) -> list[dict]:
+        """Pad eval batches to full size with zero-weight copies."""
+        pad = self.batch_size - len(samples)
+        if pad <= 0:
+            return samples
+        filler = dict(samples[-1])
+        filler = {k: np.copy(v) for k, v in filler.items()}
+        filler["sample_weight"] = np.float32(0.0)
+        filler["mask"] = np.full_like(filler["mask"], 3)  # all-ignore
+        return samples + [filler] * pad
+
+    # -- iteration --------------------------------------------------------
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._epoch_indices()
+        self._epoch += 1
+        bs = self.batch_size
+        batches = [indices[i : i + bs] for i in range(0, len(indices), bs)]
+        if self.mode == "train":
+            batches = [b for b in batches if len(b) == bs]
+
+        def produce(batch_ids):
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                samples = list(pool.map(lambda i: self._process(self.records[int(i)]), batch_ids))
+            if self.mode != "train":
+                samples = self._pad(samples)
+            return self._collate(samples)
+
+        # double-buffered prefetch: decode batch k+1 while k trains
+        q: queue.Queue = queue.Queue(maxsize=2)
+        stop = object()
+
+        def feeder():
+            try:
+                for b in batches:
+                    q.put(produce(b))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
+def prepare_loaders(config: dict, seed: int = 999):
+    """Train/val/test loader triple (utilities/utilities.py:73-126 parity;
+    only the RandomEvents track is supported, like the reference)."""
+    if config.get("track") not in ("RandomEvents",):
+        raise ValueError("No such track! We currently support only RandomEvents")
+    if config.get("slc"):
+        from .slc import SLCLoader
+
+        return (
+            SLCLoader("train", config, seed),
+            SLCLoader("val", config, seed),
+            SLCLoader("test", config, seed),
+        )
+    return (Loader("train", config, seed), Loader("val", config, seed), Loader("test", config, seed))

@@ -1,0 +1,166 @@
+"""GeoTIFF tile decode + per-sample raw struct assembly.
+
+Parity with `/root/reference/dataset/Dataset.py:641-768`:
+  * per grid dir, files are selected by name prefix: MK0_MLU (label),
+    MK0_MNA (valid mask), MS1_IVV/IVH (post/"flood"), SL1_IVV/IVH (pre1),
+    SL2_IVV/IVH (pre2), MK0_DEM;
+  * channel stack per acquisition: vv / vh / optional vh-vv ratio, then
+    clamp to [0, clamp_input] and nan_to_num(clamp_input) (Dataset.py:148-169);
+  * DEM: NaN interpolation then standardization; optional slope (Horn's
+    method — the reference's richdem slope_riserun) computed before
+    normalization (Dataset.py:731-768).
+
+The reference pulls rioxarray/richdem onto the per-sample hot path; here DEM
+interpolation + slope use numpy/scipy (same numerics) and are cheap relative
+to decode. Tile decode itself is cv2 IMREAD_ANYDEPTH like the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+
+import numpy as np
+
+try:
+    import cv2 as cv
+except ImportError:  # pragma: no cover
+    cv = None
+
+PREFIXES = {
+    "mask": "MK0_MLU",
+    "valid": "MK0_MNA",
+    "post_vv": "MS1_IVV",
+    "post_vh": "MS1_IVH",
+    "pre1_vv": "SL1_IVV",
+    "pre1_vh": "SL1_IVH",
+    "pre2_vv": "SL2_IVV",
+    "pre2_vh": "SL2_IVH",
+    "dem": "MK0_DEM",
+}
+
+
+@dataclasses.dataclass
+class RawSample:
+    """Decoded, pre-normalization sample (HWC float32 / HW int32)."""
+
+    post: np.ndarray
+    pre1: np.ndarray
+    pre2: np.ndarray
+    mask: np.ndarray
+    valid: np.ndarray
+    dem: np.ndarray | None
+    clz: int
+    activation: int
+
+
+def _imread(path: str) -> np.ndarray:
+    img = cv.imread(path, cv.IMREAD_ANYDEPTH)
+    if img is None:
+        raise IOError(f"failed to decode tile {path}")
+    return img
+
+
+def list_tile_files(grid_dir: str | os.PathLike) -> dict[str, str]:
+    """Map logical tile name -> file path by prefix convention."""
+    out = {}
+    for fname in os.listdir(grid_dir):
+        if "xml" in fname:
+            continue
+        for key, prefix in PREFIXES.items():
+            if fname.startswith(prefix):
+                out[key] = str(Path(grid_dir) / fname)
+    return out
+
+
+def stack_channels(vv: np.ndarray, vh: np.ndarray, channels: list, clamp: float | None) -> np.ndarray:
+    """vv/vh[/ratio] channel stack + clamp + nan_to_num, HWC float32
+    (reference `concat`, Dataset.py:148-169, NCHW there)."""
+    chs = set(channels)
+    if chs == {"vv", "vh", "vh/vv"}:
+        eps = 1e-7
+        img = np.stack([vv, vh, vh / (vv + eps)], axis=-1)
+    elif chs == {"vv", "vh"}:
+        img = np.stack([vv, vh], axis=-1)
+    elif channels == ["vh"]:
+        img = vh[..., None]
+    else:
+        raise ValueError(f"unsupported channels {channels}")
+    img = img.astype(np.float32)
+    if clamp is not None:
+        img = np.clip(img, 0.0, clamp)
+        img = np.nan_to_num(img, nan=clamp)
+    else:
+        img = np.nan_to_num(img, nan=200.0)
+    return img
+
+
+def interpolate_nan(dem: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor NaN fill (rioxarray interpolate_na equivalent)."""
+    nans = np.isnan(dem)
+    if not nans.any():
+        return dem
+    from scipy import ndimage
+
+    idx = ndimage.distance_transform_edt(nans, return_distances=False, return_indices=True)
+    return dem[tuple(idx)]
+
+
+def horn_slope(dem: np.ndarray) -> np.ndarray:
+    """Slope as rise/run via Horn's method (richdem TerrainAttribute
+    "slope_riserun" numerics): 3x3 weighted central differences, magnitude of
+    the gradient, unit cell size."""
+    z = np.pad(dem.astype(np.float64), 1, mode="edge")
+    dzdx = (
+        (z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:])
+        - (z[:-2, :-2] + 2 * z[1:-1, :-2] + z[2:, :-2])
+    ) / 8.0
+    dzdy = (
+        (z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:])
+        - (z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:])
+    ) / 8.0
+    return np.sqrt(dzdx**2 + dzdy**2).astype(np.float32)
+
+
+def read_dem(path: str, config: dict) -> np.ndarray:
+    """DEM (or slope) channel, standardized when scale_input is set. HW1."""
+    dem = _imread(path).astype(np.float32)
+    dem = interpolate_nan(dem)
+    if config.get("slope"):
+        if not config.get("dem"):
+            raise ValueError("To return the slope the DEM option must be enabled.")
+        s = horn_slope(dem)
+        if config.get("scale_input") is not None:
+            s = (s - config["slope_mean"]) / config["slope_std"]
+        return s[..., None]
+    if config.get("scale_input") is not None:
+        dem = (dem - config["dem_mean"]) / config["dem_std"]
+    return dem[..., None]
+
+
+def read_raw_sample(root_path: str, record, config: dict) -> RawSample:
+    """Decode every tile of one grid dir into a RawSample (no normalization —
+    that runs on device)."""
+    grid_dir = Path(root_path) / "data" / record.path if not os.path.isabs(record.path) else record.path
+    files = list_tile_files(grid_dir)
+    channels = config["channels"]
+    clamp = config.get("clamp_input")
+
+    post = stack_channels(_imread(files["post_vv"]), _imread(files["post_vh"]), channels, clamp)
+    pre1 = stack_channels(_imread(files["pre1_vv"]), _imread(files["pre1_vh"]), channels, clamp)
+    pre2 = stack_channels(_imread(files["pre2_vv"]), _imread(files["pre2_vh"]), channels, clamp)
+    mask = (
+        _imread(files["mask"]).astype(np.int32)
+        if "mask" in files
+        else np.zeros(post.shape[:2], np.int32)
+    )
+    valid = (
+        _imread(files["valid"]).astype(np.int32)
+        if "valid" in files
+        else np.ones(post.shape[:2], np.int32)
+    )
+    dem = None
+    if config.get("dem") and "dem" in files:
+        dem = read_dem(files["dem"], config)
+    return RawSample(post, pre1, pre2, mask, valid, dem, int(record.clz), int(record.activation))

@@ -1,0 +1,130 @@
+"""UNet / UNet++ / DeepLabv3+ segmentation models.
+
+Reference equivalents are thin smp wrappers
+(`/root/reference/models/model_utilities.py:110-157`): smp.Unet,
+smp.UnetPlusPlus, smp.DeepLabV3Plus with a configurable resnet encoder and
+`in_channels=num_channels, classes=num_classes`. Rebuilt here natively:
+same encoder/decoder topology and channel plan as smp's defaults
+(decoder_channels (256,128,64,32,16); ASPP rates (12,24,36), os=16).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.nn import ConvBNAct, resize_bilinear, resize_nearest, upsample2x, global_avg_pool
+from .resnet import ResNetEncoder
+
+
+class DecoderBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None, train: bool = False):
+        x = upsample2x(x, "nearest")
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        x = ConvBNAct(self.features, 3, dtype=self.dtype)(x, train)
+        x = ConvBNAct(self.features, 3, dtype=self.dtype)(x, train)
+        return x
+
+
+class UNet(nn.Module):
+    """smp.Unet-equivalent: resnet encoder + 5-step decoder + 3x3 head."""
+
+    num_classes: int
+    backbone: str = "resnet18"
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNetEncoder(self.backbone, dtype=self.dtype, name="encoder")(x, train)
+        # feats: [input, /2, /4, /8, /16, /32]
+        y = feats[-1]
+        skips = feats[1:-1][::-1] + [None]  # [/16, /8, /4, /2, None]
+        for ch, skip in zip(self.decoder_channels, skips):
+            y = DecoderBlock(ch, dtype=self.dtype)(y, skip, train)
+        logits = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype, name="head")(y)
+        return logits.astype(jnp.float32)
+
+
+class UNetPlusPlus(nn.Module):
+    """smp.UnetPlusPlus-equivalent nested dense decoder."""
+
+    num_classes: int
+    backbone: str = "resnet18"
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNetEncoder(self.backbone, dtype=self.dtype, name="encoder")(x, train)
+        # Dense grid X[i][j]: i = resolution level (0 = /2, highest kept), j = depth.
+        # X[i][j] = Block(up(X[i+1][j-1]), skip=cat(X[i][0..j-1])).
+        enc = feats[1:]  # [/2, /4, /8, /16, /32]
+        levels = len(enc)
+        node_ch = [32, 64, 128, 256]  # out channels per level i (matches plan)
+        grid: dict[tuple[int, int], jnp.ndarray] = {(i, 0): enc[i] for i in range(levels)}
+        for j in range(1, levels):
+            for i in range(0, levels - j):
+                skip = jnp.concatenate([grid[(i, k)] for k in range(j)], axis=-1)
+                grid[(i, j)] = DecoderBlock(node_ch[i], dtype=self.dtype, name=f"dec_{i}_{j}")(
+                    grid[(i + 1, j - 1)], skip, train
+                )
+        y = grid[(0, levels - 1)]  # at /2 resolution
+        y = upsample2x(y, "nearest")  # back to input resolution
+        y = ConvBNAct(self.decoder_channels[-1], 3, dtype=self.dtype, name="final_block")(y, train)
+        logits = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype, name="head")(y)
+        return logits.astype(jnp.float32)
+
+
+class ASPP(nn.Module):
+    features: int = 256
+    rates: Sequence[int] = (12, 24, 36)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1:3]
+        branches = [ConvBNAct(self.features, 1, padding=0, dtype=self.dtype)(x, train)]
+        for r in self.rates:
+            branches.append(
+                ConvBNAct(self.features, 3, dilation=r, dtype=self.dtype)(x, train)
+            )
+        gp = global_avg_pool(x)
+        gp = ConvBNAct(self.features, 1, padding=0, dtype=self.dtype)(gp, train)
+        gp = resize_bilinear(gp, (h, w))
+        branches.append(gp)
+        y = jnp.concatenate(branches, axis=-1)
+        y = ConvBNAct(self.features, 1, padding=0, dtype=self.dtype)(y, train)
+        return y
+
+
+class DeepLabV3Plus(nn.Module):
+    """smp.DeepLabV3Plus-equivalent: os=16 resnet trunk, ASPP, low-level
+    feature fusion at /4, 4x bilinear upsample head."""
+
+    num_classes: int
+    backbone: str = "resnet18"
+    decoder_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNetEncoder(
+            self.backbone, dilations=(False, False, True), dtype=self.dtype, name="encoder"
+        )(x, train)
+        high = ASPP(self.decoder_channels, dtype=self.dtype)(feats[-1], train)  # /16
+        high = resize_bilinear(high, feats[2].shape[1:3])  # -> /4
+        low = ConvBNAct(48, 1, padding=0, dtype=self.dtype)(feats[2], train)
+        y = jnp.concatenate([high, low], axis=-1)
+        y = ConvBNAct(self.decoder_channels, 3, dtype=self.dtype)(y, train)
+        y = ConvBNAct(self.decoder_channels, 3, dtype=self.dtype)(y, train)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(y)
+        logits = resize_bilinear(logits, x.shape[1:3])
+        return logits.astype(jnp.float32)

@@ -1,0 +1,131 @@
+"""FloodViT: lucidrains-style ViT encoder (pre-norm, learned pos-emb + cls).
+
+Structural parity with `/root/reference/models/vision_transformer.py:19-156`
+for checkpoint conversion:
+  to_patch_embedding = [rearrange p16, LayerNorm(patch_dim), Linear(->dim),
+                        LayerNorm(dim)]
+  pre-norm blocks: x = attn(LN(x)) + x ; x = ff(LN(x)) + x ; final LN.
+  Attention: fused qkv Linear (no bias), out proj Linear.
+  pool="cls" quirk: the forward RETURNS ALL PATCH TOKENS x[:, 1:] with no head
+  (vision_transformer.py:150-153) — that is what FinetunerSegmentation and the
+  MAE wrapper consume; pool="mean" applies the mlp_head.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from einops import rearrange
+
+from ..ops.attention import attention
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim_head * self.heads
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads)
+        out = attention(split(q), split(k), split(v), scale=self.dim_head**-0.5)
+        out = rearrange(out, "b h n d -> b n (h d)")
+        if project_out:
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return out
+
+
+class Transformer(nn.Module):
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth):
+            x = SelfAttention(self.dim, self.heads, self.dim_head, self.dtype, name=f"attn_{i}")(x) + x
+            x = FeedForward(self.dim, self.mlp_dim, self.dtype, name=f"ff_{i}")(x) + x
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+def patchify(img: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """NHWC image -> (B, N, p*p*C) patches, matching the reference's NCHW
+    Rearrange 'b c (h p1) (w p2) -> b (h w) (p1 p2 c)' element order."""
+    return rearrange(img, "b (h p1) (w p2) c -> b (h w) (p1 p2 c)", p1=patch, p2=patch)
+
+
+def unpatchify(patches: jnp.ndarray, patch: int, h: int, w: int, c: int) -> jnp.ndarray:
+    return rearrange(
+        patches, "b (h w) (p1 p2 c) -> b (h p1) (w p2) c", h=h // patch, w=w // patch, p1=patch, p2=patch
+    )
+
+
+class ViT(nn.Module):
+    image_size: int = 224
+    patch_size: int = 16
+    num_classes: int = 1000
+    dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+    mlp_dim: int = 2048
+    pool: str = "cls"
+    channels: int = 6
+    dim_head: int = 64
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        num_patches = (self.image_size // self.patch_size) ** 2
+        self.patch_norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.patch_proj = nn.Dense(self.dim, dtype=self.dtype)
+        self.patch_norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.pos_embedding = self.param(
+            "pos_embedding", nn.initializers.normal(1.0), (1, num_patches + 1, self.dim), jnp.float32
+        )
+        self.cls_token = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, self.dim), jnp.float32)
+        self.transformer = Transformer(
+            self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim, self.dtype
+        )
+        self.mlp_head = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def embed_patches(self, patches: jnp.ndarray) -> jnp.ndarray:
+        """patch pixels -> tokens (LN -> Linear -> LN), no positions."""
+        return self.patch_norm2(self.patch_proj(self.patch_norm1(patches)))
+
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        x = self.embed_patches(patchify(img, self.patch_size))
+        b, n, _ = x.shape
+        cls = jnp.tile(self.cls_token.astype(x.dtype), (b, 1, 1))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embedding[:, : n + 1].astype(x.dtype)
+        x = self.transformer(x)
+        if self.pool == "mean":
+            x = jnp.mean(x, axis=1)
+            return self.mlp_head(x)
+        # pool == "cls": reference returns all patch tokens, no head.
+        return x[:, 1:]

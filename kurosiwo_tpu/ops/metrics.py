@@ -1,0 +1,200 @@
+"""Metric bank as a confusion-matrix pytree — the TPU-native replacement for
+the reference's torchmetrics stack (`/root/reference/utilities/utilities.py:228-265`).
+
+The reference instantiates Accuracy/F1/Precision/Recall/JaccardIndex with
+`task="multiclass", num_classes=4, average="none", ignore_index=3` and derives
+mIoU as the mean over classes 0-2. All of those are pure functions of the
+4x4 confusion matrix, so the bank here is a single (C, C) int array that:
+
+  * updates inside the jitted train/eval step (cheap one-hot matmul),
+  * reduces across devices with a single psum (vs. torchmetrics' sync),
+  * yields every derived metric on host at epoch end.
+
+Per-climate-zone banks (x3), per-AOI banks, and the binary water-only F1
+(classes {1,2} -> 1; `/root/reference/training/segmentation_trainer.py:407-411`)
+are all expressed over the same accumulator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IGNORE_INDEX = 3
+NUM_CLASSES = 3  # semantic classes; the bank is (C+1)x(C+1) like the reference
+CLASS_LABELS = {0: "No water", 1: "Water", 2: "Flood", 3: "Invalid"}
+
+
+def confusion_matrix(
+    predictions: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES + 1,
+    ignore_index: int = IGNORE_INDEX,
+) -> jnp.ndarray:
+    """(num_classes, num_classes) counts cm[label, pred] over valid pixels.
+
+    TPU note: one-hot contraction (a (C, N) x (N, C) matmul on the MXU), NOT
+    bincount — TPU scatter-adds lower to serial loops (measured 59ms for one
+    batch of 224x224 masks on v5e; this formulation is <1ms). Counts stay
+    exact: per-batch entries are far below f32's 2^24 integer limit."""
+    preds = predictions.reshape(-1)
+    labs = labels.reshape(-1)
+    lab_oh = jax.nn.one_hot(labs, num_classes, dtype=jnp.float32)
+    lab_oh = lab_oh * (labs != ignore_index).astype(jnp.float32)[:, None]
+    pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    cm = jnp.einsum("nc,nd->cd", lab_oh, pred_oh, preferred_element_type=jnp.float32)
+    return cm.astype(jnp.int32)
+
+
+def masked_confusion_matrix(
+    predictions: jnp.ndarray,
+    labels: jnp.ndarray,
+    sample_mask: jnp.ndarray,
+    num_classes: int = NUM_CLASSES + 1,
+    ignore_index: int = IGNORE_INDEX,
+) -> jnp.ndarray:
+    """Confusion matrix over a subset of samples (for zone/AOI banks);
+    `sample_mask` is (B,) bool."""
+    b = labels.shape[0]
+    labs = labels.reshape(b, -1)
+    preds = predictions.reshape(b, -1)
+    keep = ((labs != ignore_index) & sample_mask[:, None]).astype(jnp.float32)
+    lab_oh = jax.nn.one_hot(labs, num_classes, dtype=jnp.float32) * keep[..., None]
+    pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    cm = jnp.einsum("bnc,bnd->cd", lab_oh, pred_oh, preferred_element_type=jnp.float32)
+    return cm.astype(jnp.int32)
+
+
+def water_confusion_matrix(
+    predictions: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = IGNORE_INDEX
+) -> jnp.ndarray:
+    """Binary water bank: classes {1,2} collapse to 1 (segmentation_trainer.py:407-411)."""
+    wp = jnp.where(predictions == 2, 1, predictions)
+    wl = jnp.where(labels == 2, 1, labels)
+    return confusion_matrix(wp, wl, num_classes=NUM_CLASSES + 1, ignore_index=ignore_index)
+
+
+def derive(cm: np.ndarray | jnp.ndarray) -> dict[str, Any]:
+    """All reference-visible metrics from a confusion matrix.
+
+    Matches torchmetrics `average="none"` semantics: per-class accuracy equals
+    per-class recall; micro accuracy is total correct / total valid.
+    """
+    cm = np.asarray(cm, np.float64)
+    tp = np.diag(cm)
+    support = cm.sum(axis=1)  # true count per class
+    predicted = cm.sum(axis=0)
+    union = support + predicted - tp
+
+    def safe(n, d):
+        return np.where(d > 0, n / np.maximum(d, 1), 0.0)
+
+    recall = safe(tp, support)
+    precision = safe(tp, predicted)
+    f1 = safe(2 * precision * recall, precision + recall)
+    iou = safe(tp, union)
+    total = cm.sum()
+    micro_acc = tp.sum() / max(total, 1.0)
+    return {
+        "accuracy": recall,  # torchmetrics multiclass per-class accuracy == recall
+        "precision": precision,
+        "recall": recall,
+        "fscore": f1,
+        "iou": iou,
+        "micro_accuracy": micro_acc,
+        "mean_iou": float(iou[:NUM_CLASSES].mean()),
+        "mean_f1": float(f1[:NUM_CLASSES].mean()),
+        "support": support,
+    }
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MetricState:
+    """Device-resident accumulator pytree, psum-reducible across the mesh.
+
+    zones: (num_zones, C, C) per-climate-zone banks (reference keeps 3).
+    water: binary water-only bank.
+    loss_sum / count: running weighted loss for epoch averages.
+    """
+
+    cm: jnp.ndarray
+    water: jnp.ndarray
+    zones: jnp.ndarray
+    loss_sum: jnp.ndarray
+    count: jnp.ndarray
+
+    @staticmethod
+    def create(num_zones: int = 3, num_classes: int = NUM_CLASSES + 1) -> "MetricState":
+        z = jnp.zeros((num_zones, num_classes, num_classes), jnp.int32)
+        c = jnp.zeros((num_classes, num_classes), jnp.int32)
+        return MetricState(
+            cm=c, water=c, zones=z, loss_sum=jnp.zeros((), jnp.float32), count=jnp.zeros((), jnp.float32)
+        )
+
+    def update(
+        self,
+        predictions: jnp.ndarray,
+        labels: jnp.ndarray,
+        loss: jnp.ndarray,
+        batch_weight: jnp.ndarray | float = 1.0,
+        clz: jnp.ndarray | None = None,
+    ) -> "MetricState":
+        cm = self.cm + confusion_matrix(predictions, labels).astype(jnp.int32)
+        water = self.water + water_confusion_matrix(predictions, labels).astype(jnp.int32)
+        zones = self.zones
+        if clz is not None:
+            num_zones = self.zones.shape[0]
+            zone_updates = jax.vmap(
+                lambda z: masked_confusion_matrix(predictions, labels, clz == z + 1)
+            )(jnp.arange(num_zones))
+            zones = zones + zone_updates.astype(jnp.int32)
+        return MetricState(
+            cm=cm,
+            water=water,
+            zones=zones,
+            loss_sum=self.loss_sum + loss * batch_weight,
+            count=self.count + batch_weight,
+        )
+
+    def reduce(self, axis_name: str) -> "MetricState":
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), self)
+
+    def summarize(self) -> dict[str, Any]:
+        out = derive(self.cm)
+        w = derive(self.water)
+        out["water_fscore"] = w["fscore"]
+        out["val_loss"] = float(np.asarray(self.loss_sum)) / max(float(np.asarray(self.count)), 1e-12)
+        out["zones"] = [derive(np.asarray(self.zones)[z]) for z in range(self.zones.shape[0])]
+        return out
+
+
+class HostAOIMetrics:
+    """Per-AOI metric dict (reference: segmentation_trainer.py:293-308).
+
+    AOI/activation ids are arbitrary Python ints (not dense), so this bank
+    lives on host: the jitted step returns per-sample confusion matrices only
+    when AOI logging is enabled, and the host scatters them into a dict.
+    """
+
+    def __init__(self):
+        self.banks: dict[int, np.ndarray] = {}
+
+    def update(self, per_sample_cm: np.ndarray, activations: np.ndarray) -> None:
+        for cm_i, act in zip(per_sample_cm, activations):
+            a = int(act)
+            if a not in self.banks:
+                self.banks[a] = np.zeros_like(cm_i, dtype=np.int64)
+            self.banks[a] += cm_i.astype(np.int64)
+
+    def summarize(self) -> dict[int, dict[str, Any]]:
+        return {a: derive(cm) for a, cm in sorted(self.banks.items())}
+
+
+def per_sample_confusion(predictions: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, C) per-sample confusion matrices for host-side AOI banking."""
+    return jax.vmap(lambda p, l: confusion_matrix(p, l))(predictions, labels)

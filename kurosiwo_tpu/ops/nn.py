@@ -1,0 +1,239 @@
+"""NN building blocks shared across the model zoo (flax.linen, NHWC).
+
+TPU-native conventions used throughout the zoo:
+  * NHWC layout (XLA's preferred conv layout on TPU; the reference is NCHW).
+  * bf16 compute / f32 params via the (dtype, param_dtype) pair on modules.
+  * torch-parity numerics where they matter for checkpoint conversion:
+    BatchNorm eps 1e-5 / torch momentum 0.1 (== flax momentum 0.9),
+    bilinear resize half-pixel centers == torch align_corners=False,
+    explicit align_corners=True path for the models that use it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def max_pool(x: jnp.ndarray, window: int = 2, stride: int = 2, padding="VALID") -> jnp.ndarray:
+    """torch MaxPool2d(window, stride) on NHWC."""
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding=padding)
+
+
+def avg_pool(x: jnp.ndarray, window: int = 2, stride: int = 2, padding="VALID") -> jnp.ndarray:
+    return nn.avg_pool(x, (window, window), strides=(stride, stride), padding=padding)
+
+
+def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def global_max_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    return jnp.max(x, axis=(1, 2), keepdims=keepdims)
+
+
+def resize_bilinear(x: jnp.ndarray, size: tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize on NHWC. align_corners=False matches torch's default
+    (half-pixel centers, == jax.image.resize); align_corners=True uses the
+    corner-aligned sampling grid some reference models rely on
+    (e.g. SNUNet's optional bilinear up, BiT's final upsample)."""
+    b, h, w, c = x.shape
+    out_h, out_w = size
+    if not align_corners:
+        return jax.image.resize(x, (b, out_h, out_w, c), method="linear")
+    # Corner-aligned: sample positions i * (h-1)/(out_h-1).
+    def grid(in_dim, out_dim):
+        if out_dim == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(out_dim, dtype=jnp.float32) * (in_dim - 1) / (out_dim - 1)
+
+    ys, xs = grid(h, out_h), grid(w, out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+
+
+def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="nearest")
+
+
+def upsample2x(x: jnp.ndarray, method: str = "nearest", align_corners: bool = False) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    if method == "nearest":
+        return resize_nearest(x, (2 * h, 2 * w))
+    return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)
+
+
+def replication_pad_to(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """torch ReplicationPad2d((0, dw, 0, dh)) equivalent — pad bottom/right by
+    edge replication up to (target_h, target_w). Used by the siamese UNets to
+    fix odd-size decoder shapes (/root/reference/models/siam_diff.py:145)."""
+    b, h, w, c = x.shape
+    dh, dw = target_h - h, target_w - w
+    if dh == 0 and dw == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, dh), (0, dw), (0, 0)), mode="edge")
+
+
+class ConvBNAct(nn.Module):
+    """Conv -> BatchNorm -> activation, the workhorse block of the CNN zoo."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    act: Callable | None = nn.relu
+    dtype: Dtype = jnp.float32
+    padding: Any = None  # default: torch-style symmetric int padding
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding if self.padding is not None else self.dilation * (self.kernel // 2)
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class ConvTranspose2x(nn.Module):
+    """torch ConvTranspose2d(C, C_out, kernel=2, stride=2) — exact 2x upsample."""
+
+    features: int
+    kernel: int = 2
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(2, 2),
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+def conv_transpose_torch(
+    x: jnp.ndarray,
+    features: int,
+    kernel: int,
+    stride: int,
+    padding: int,
+    output_padding: int = 0,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+    name: str | None = None,
+    module: nn.Module | None = None,
+):
+    """torch-semantics ConvTranspose2d for arbitrary (kernel, stride, padding,
+    output_padding). flax's ConvTranspose uses different padding conventions,
+    so we express it directly: out = (in-1)*s - 2p + k + output_padding."""
+    raise NotImplementedError("use TorchConvTranspose module")
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d with torch's (kernel, stride, padding, output_padding)
+    geometry: out = (in - 1) * stride - 2 * padding + kernel + output_padding.
+
+    Implemented as lhs-dilated conv (the gradient-of-conv formulation), which
+    XLA lowers onto the MXU directly.
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        k, s, p, op = self.kernel, self.stride, self.padding, self.output_padding
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform", in_axis=(0, 1, 3)),
+            (k, k, self.features, cin),  # HWOI (we flip spatially below)
+            jnp.float32,
+        )
+        # conv_transpose(x, W) == conv(lhs_dilate(x, s), flip(W)) with pad (k-1-p)
+        lo = k - 1 - p
+        hi = k - 1 - p + op
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            jnp.flip(kernel, axis=(0, 1)).astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(lo, hi), (lo, hi)],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite style channel attention with avg+max pooling branches
+    through a shared bottleneck MLP (reference: models/snunet.py:49-62)."""
+
+    ratio: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        fc1 = nn.Conv(c // self.ratio, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")
+        fc2 = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")
+        avg_out = fc2(nn.relu(fc1(global_avg_pool(x))))
+        max_out = fc2(nn.relu(fc1(global_max_pool(x))))
+        return nn.sigmoid(avg_out + max_out)
+
+
+class Dropout2d(nn.Module):
+    """Channel-wise dropout (torch Dropout2d): drops whole feature maps."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, shape=(x.shape[0], 1, 1, x.shape[-1]))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+def log_softmax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return jax.nn.log_softmax(x, axis=axis)

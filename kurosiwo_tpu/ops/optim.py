@@ -1,0 +1,67 @@
+"""Optimizer factory (optax), mirroring the reference's selection semantics.
+
+Reference behaviors replicated:
+  * segmentation trainer: plain Adam(lr) regardless of method config
+    (`/root/reference/training/segmentation_trainer.py:35`).
+  * CD/recurrent trainers: SGD forced for bit-cd / hfa-net with
+    momentum + weight_decay; otherwise adam / adamw(betas, wd) / sgd by
+    method config (`/root/reference/training/change_detection_trainer.py:44-66`).
+  * MAE: Adam(lr) with lr pre-scaled by the gradient-accumulation factor
+    (`/root/reference/training/train_mae.py:159-186`).
+
+The learning rate is injected as a mutable hyperparameter so epoch-level
+schedules (stepped once per epoch, like torch lr_scheduler.step()) and
+per-iteration schedules (MAE) both work without re-jitting.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def _sgd(lr, momentum, weight_decay):
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        optax.sgd(learning_rate=lr, momentum=momentum),
+    )
+    return tx
+
+
+def create_optimizer(config: dict, model_config: dict, task: str = "segmentation"):
+    """Returns an optax.GradientTransformation with injected 'learning_rate'."""
+    lr = float(model_config.get("learning_rate", config.get("learning_rate", 1e-3)))
+
+    if task in ("segmentation", "mae"):
+        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+    # change detection / recurrent
+    method = config.get("method", "")
+    if method in ("bit-cd", "hfa-net"):
+        mom = float(model_config.get("momentum", 0.9))
+        wd = float(model_config.get("weight_decay", 0.0))
+        return optax.inject_hyperparams(
+            lambda learning_rate: _sgd(learning_rate, mom, wd)
+        )(learning_rate=lr)
+
+    opt_name = model_config.get("optimizer", "adam")
+    if opt_name == "adam":
+        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    if opt_name == "adamw":
+        b1, b2 = model_config.get("betas", [0.9, 0.999])
+        wd = float(model_config.get("weight_decay", 0.0))
+        return optax.inject_hyperparams(
+            lambda learning_rate: optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=wd)
+        )(learning_rate=lr)
+    if opt_name == "sgd":
+        mom = float(model_config.get("momentum", 0.9))
+        wd = float(model_config.get("weight_decay", 0.0))
+        return optax.inject_hyperparams(
+            lambda learning_rate: _sgd(learning_rate, mom, wd)
+        )(learning_rate=lr)
+    raise NotImplementedError(f"optimizer {opt_name!r} is not supported")
+
+
+def set_learning_rate(opt_state, lr):
+    """Update the injected learning rate in-place in the optimizer state pytree."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state

@@ -1,0 +1,76 @@
+"""Device mesh + sharding plans.
+
+TPU-native parallelism design (replaces: nothing — the reference has no
+distributed support, utilities/utilities.py:401-406 pins a single cuda device):
+
+  axes: ("data", "model")
+    data  — batch sharding (DP). Gradients all-reduce over ICI automatically
+            via GSPMD when the loss is a mean over the globally-sharded batch.
+    model — tensor-parallel axis for the ViT/MAE stack (dim-1024 encoder):
+            attention heads and MLP hidden sharded; also the context-parallel
+            axis for ring attention on whole-scene inference.
+
+  Single chip == mesh (1, 1); the same jitted step runs unchanged.
+
+Multi-host: each process feeds its local shard via
+`jax.make_array_from_process_local_data`; collectives ride ICI within a slice
+and DCN across slices (XLA picks this from the device assignment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshPlan:
+    mesh: Mesh
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+    @property
+    def num_data(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    @property
+    def num_model(self) -> int:
+        return self.mesh.shape[self.model_axis]
+
+
+def create_mesh(
+    num_data: int | None = None,
+    num_model: int = 1,
+    devices: list | None = None,
+) -> MeshPlan:
+    """Build a ("data", "model") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if num_data is None:
+        num_data = n // num_model
+    assert num_data * num_model == n, f"mesh {num_data}x{num_model} != {n} devices"
+    arr = np.asarray(devices).reshape(num_data, num_model)
+    return MeshPlan(mesh=Mesh(arr, ("data", "model")))
+
+
+def batch_sharding(plan: MeshPlan) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(plan.mesh, P(plan.data_axis))
+
+
+def replicated(plan: MeshPlan) -> NamedSharding:
+    return NamedSharding(plan.mesh, P())
+
+
+def shard_batch(plan: MeshPlan, batch: Any) -> Any:
+    """Place a host pytree of numpy arrays as batch-sharded device arrays."""
+    sh = batch_sharding(plan)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,183 @@
+"""Shared epoch-loop engine for segmentation / cd / recurrent training.
+
+The reference's three trainers (segmentation_trainer.py, cd_trainer.py,
+recurrent_trainer.py, ~2,500 LoC combined) share one skeleton: epoch loop ->
+per-batch fwd/bwd -> torchmetrics updates -> per-epoch val eval -> best-mIoU
+checkpoint -> final test eval. Here that skeleton exists once; the task
+engines differ only in input assembly (steps.py) and optimizer selection
+(ops/optim.py).
+
+Mesh-first: ONE jitted train step and ONE eval step, compiled with the batch
+sharded over the mesh "data" axis and state replicated; metrics accumulate on
+device and cross the host boundary once per epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import Loader
+from ..ops import optim
+from ..ops.losses import create_loss
+from ..ops.metrics import CLASS_LABELS, HostAOIMetrics, MetricState
+from ..ops.schedules import create_lr_schedule
+from ..parallel.mesh import MeshPlan, batch_sharding, create_mesh, replicated, shard_batch
+from ..utils.logging import MetricLogger
+from .checkpoint import CheckpointManager
+from .state import TrainState, create_train_state
+from .steps import (
+    assemble_cd_inputs,
+    assemble_recurrent_input,
+    assemble_segmentation_input,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def example_inputs_for_task(task: str, config: dict, batch_size: int = 2, size: int = 224):
+    """Tiny abstract inputs for model.init, matching the task's assembly."""
+    nch = config["num_channels"]
+    if task == "cd":
+        x = jnp.zeros((batch_size, size, size, nch), jnp.float32)
+        return (x, x)
+    if task == "recurrent":
+        return (jnp.zeros((batch_size, 3, size, size, nch), jnp.float32),)
+    return (jnp.zeros((batch_size, size, size, nch), jnp.float32),)
+
+
+class TaskEngine:
+    """Owns model/state/steps for one task; used by the 3 trainer frontends."""
+
+    def __init__(
+        self,
+        model,
+        config: dict,
+        model_config: dict,
+        task: str,
+        steps_per_epoch: int,
+        mesh_plan: MeshPlan | None = None,
+        seed: int = 999,
+        init_size: int = 224,
+    ):
+        self.model = model
+        self.config = config
+        self.model_config = model_config
+        self.task = task
+        self.plan = mesh_plan or create_mesh()
+        self.logger = MetricLogger(config)
+
+        opt_task = "segmentation" if task in ("segmentation", "recurrent") else "cd"
+        # reference quirk: seg/recurrent trainers always use plain Adam
+        self.tx = optim.create_optimizer(config, model_config, opt_task)
+        self.lr_schedule = create_lr_schedule(config, model_config, steps_per_epoch)
+
+        rng = jax.random.PRNGKey(seed)
+        self.state, _ = create_train_state(
+            self.model, self.tx, rng, example_inputs_for_task(task, config, size=init_size)
+        )
+        self.rng = rng
+
+        train_criterion = create_loss(config, mode="train")
+        eval_criterion = create_loss(config, mode="val")
+        with_aoi = bool(config.get("log_AOI_metrics"))
+        self._train_step_fn = make_train_step(
+            self.model, self.tx, train_criterion, config, model_config, task
+        )
+        self._eval_step_fn = make_eval_step(
+            self.model, eval_criterion, config, model_config, task, with_aoi=with_aoi
+        )
+        self.with_aoi = with_aoi
+
+        bsh = batch_sharding(self.plan)
+        rep = replicated(self.plan)
+        self._train_step = jax.jit(
+            self._train_step_fn,
+            in_shardings=(rep, bsh, rep, rep, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            self._eval_step_fn,
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep, rep),
+        )
+
+    # ------------------------------------------------------------------
+    def run_train_epoch(self, loader: Loader, epoch: int) -> dict:
+        cfg = self.config
+        metric_state = MetricState.create()
+        lr_value = float(self.lr_schedule(epoch))
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_value, jnp.float32)
+        t0 = time.time()
+        nbatches = 0
+        for index, batch in enumerate(loader):
+            self.rng, step_rng = jax.random.split(self.rng)
+            device_batch = shard_batch(self.plan, batch)
+            # fresh lr array per call: the state (incl. opt hyperparams) is
+            # donated, so any alias passed alongside it would be invalidated
+            self.state, metric_state, loss = self._train_step(
+                self.state, device_batch, metric_state, jnp.asarray(lr_value, jnp.float32), step_rng
+            )
+            nbatches += 1
+            if index % int(cfg.get("print_frequency", 10)) == 0:
+                self.logger.log_train_iteration(epoch, index, float(loss), lr_value)
+        summary = metric_state.summarize()
+        summary["epoch_time_s"] = time.time() - t0
+        summary["batches"] = nbatches
+        return summary
+
+    def run_eval(self, loader: Loader, settype: str = "Val") -> tuple[float, float, float, dict]:
+        metric_state = MetricState.create()
+        aoi = HostAOIMetrics() if self.with_aoi else None
+        for batch in loader:
+            device_batch = shard_batch(self.plan, batch)
+            metric_state, loss, aux = self._eval_step(self.state, device_batch, metric_state)
+            if aoi is not None:
+                aoi.update(np.asarray(aux["per_sample_cm"]), batch["activation"])
+        summary = metric_state.summarize()
+        self.logger.log_eval(settype, summary, aoi.summarize() if aoi else None)
+        acc = 100.0 * summary["micro_accuracy"]
+        mean_f1 = 100.0 * summary["mean_f1"]
+        miou = 100.0 * summary["mean_iou"]
+        return acc, mean_f1, miou, summary
+
+
+def train_task(
+    model,
+    train_loader: Loader,
+    val_loader: Loader,
+    test_loader: Loader,
+    config: dict,
+    model_config: dict,
+    task: str,
+    seed: int = 999,
+) -> TaskEngine:
+    """The shared training driver: epochs -> val -> best-mIoU checkpoint.
+    Mirrors train_semantic_segmentation / train_change_detection /
+    train_recurrent_segmentation control flow."""
+    engine = TaskEngine(model, config, model_config, task, steps_per_epoch=len(train_loader), seed=seed)
+    ckpt = CheckpointManager(config.get("checkpoint_path", "checkpoints/run"))
+
+    if config.get("resume_checkpoint"):
+        engine.state, _ = ckpt.restore("best_segmentation", engine.state)
+
+    best_val = 0.0
+    for epoch in range(int(config.get("start_epoch", 0)), int(config.get("epochs", 1))):
+        train_summary = engine.run_train_epoch(train_loader, epoch)
+        engine.logger.log_train_epoch(epoch, train_summary)
+        if task in ("cd", "recurrent") and config.get("train_save_checkpoint_freq"):
+            if epoch % int(config["train_save_checkpoint_freq"]) == 0:
+                ckpt.save_epoch(engine.state, epoch)
+        _, _, miou, _ = engine.run_eval(val_loader, "Val")
+        if miou > best_val:
+            best_val = miou
+            engine.logger.info(f"Epoch {epoch}: new best validation mIoU {miou:.3f}")
+            ckpt.save_best(engine.state, epoch, miou)
+    ckpt.wait()
+    return engine

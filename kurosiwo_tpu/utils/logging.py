@@ -1,0 +1,70 @@
+"""Metric logging sinks: stdout (`on_screen_prints`) and optional wandb
+(`wandb_activate`), behind the same config keys as the reference
+(segmentation_trainer.py:166-228, :829-1009). wandb is not installed in this
+image, so the sink degrades to a no-op with a single warning.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from ..ops.metrics import CLASS_LABELS, NUM_CLASSES
+
+
+class MetricLogger:
+    def __init__(self, config: dict):
+        self.config = config
+        self.on_screen = bool(config.get("on_screen_prints"))
+        self.wandb = None
+        if config.get("wandb_activate"):
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(
+                    project=config.get("wandb_project"),
+                    entity=config.get("wandb_entity"),
+                    config={k: v for k, v in config.items() if isinstance(v, (int, float, str, bool))},
+                )
+            except ImportError:
+                print("[kurosiwo_tpu] wandb requested but not installed; logging to stdout")
+                self.on_screen = True
+
+    def info(self, msg: str):
+        print(msg)
+
+    def _emit(self, payload: dict):
+        if self.wandb is not None:
+            self.wandb.log(payload)
+        elif self.on_screen:
+            print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in payload.items()}))
+
+    def log_train_iteration(self, epoch: int, index: int, loss: float, lr: float):
+        self._emit({"Epoch": epoch, "Iteration": index, "Train Loss": loss, "lr": lr})
+
+    def log_train_epoch(self, epoch: int, summary: dict):
+        payload = {"Epoch": epoch, "Train MeanIoU": summary["mean_iou"] * 100}
+        for c in range(NUM_CLASSES):
+            payload[f"Train F-Score ({CLASS_LABELS[c]})"] = 100 * float(summary["fscore"][c])
+            payload[f"Train IoU ({CLASS_LABELS[c]})"] = 100 * float(summary["iou"][c])
+        payload["Train epoch time (s)"] = summary.get("epoch_time_s", 0.0)
+        self._emit(payload)
+
+    def log_eval(self, settype: str, summary: dict, aoi_summary: dict | None = None):
+        payload = {f"{settype} Loss": summary["val_loss"], f"{settype} MeanIoU": 100 * summary["mean_iou"]}
+        for c in range(NUM_CLASSES):
+            payload[f"{settype} Accuracy ({CLASS_LABELS[c]})"] = 100 * float(summary["accuracy"][c])
+            payload[f"{settype} F-Score ({CLASS_LABELS[c]})"] = 100 * float(summary["fscore"][c])
+            payload[f"{settype} Precision ({CLASS_LABELS[c]})"] = 100 * float(summary["precision"][c])
+            payload[f"{settype} Recall ({CLASS_LABELS[c]})"] = 100 * float(summary["recall"][c])
+            payload[f"{settype} IoU ({CLASS_LABELS[c]})"] = 100 * float(summary["iou"][c])
+        if self.config.get("evaluate_water") and "water_fscore" in summary:
+            payload[f"{settype} F-Score Only Water"] = 100 * float(summary["water_fscore"][1])
+        if self.config.get("log_zone_metrics") and "zones" in summary:
+            for z, zsum in enumerate(summary["zones"]):
+                payload[f"{settype} Zone {z + 1} MeanIoU"] = 100 * zsum["mean_iou"]
+        if aoi_summary:
+            for act, asum in aoi_summary.items():
+                payload[f"{settype} AOI {act} MeanIoU"] = 100 * asum["mean_iou"]
+        self._emit(payload)

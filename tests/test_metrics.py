@@ -1,0 +1,69 @@
+"""Metric-bank tests: confusion-matrix derivations vs hand-computed values
+and torchmetrics semantics (per-class with ignore_index=3)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kurosiwo_tpu.ops import metrics
+
+
+def test_confusion_matrix_ignores_class3():
+    labels = jnp.asarray([[0, 1, 2, 3], [1, 1, 3, 0]])
+    preds = jnp.asarray([[0, 2, 2, 0], [1, 0, 1, 0]])
+    cm = np.asarray(metrics.confusion_matrix(preds, labels))
+    assert cm.sum() == 6  # two ignored pixels dropped
+    assert cm[0, 0] == 2 and cm[1, 1] == 1 and cm[1, 2] == 1 and cm[2, 2] == 1 and cm[1, 0] == 1
+
+
+def test_derive_miou_and_f1():
+    cm = np.array(
+        [[50, 5, 5, 0], [2, 30, 8, 0], [3, 2, 40, 0], [0, 0, 0, 0]], np.float64
+    )
+    d = metrics.derive(cm)
+    for c in range(3):
+        tp = cm[c, c]
+        iou = tp / (cm[c].sum() + cm[:, c].sum() - tp)
+        np.testing.assert_allclose(d["iou"][c], iou)
+    np.testing.assert_allclose(d["mean_iou"], np.mean([d["iou"][c] for c in range(3)]))
+    assert 0 < d["mean_f1"] <= 1
+
+
+def test_water_collapse():
+    labels = jnp.asarray([[1, 2, 0, 3]])
+    preds = jnp.asarray([[2, 1, 0, 1]])
+    cm = np.asarray(metrics.water_confusion_matrix(preds, labels))
+    # classes {1,2} -> 1: preds (1,1,0), labels (1,1,0) -> all correct
+    assert cm[1, 1] == 2 and cm[0, 0] == 1 and cm.sum() == 3
+
+
+def test_metric_state_accumulates_and_summarizes():
+    state = metrics.MetricState.create()
+    labels = jnp.asarray(np.random.RandomState(0).randint(0, 4, (2, 16, 16)))
+    preds = jnp.asarray(np.random.RandomState(1).randint(0, 3, (2, 16, 16)))
+    state = state.update(preds, labels, jnp.asarray(0.5), 2.0, clz=jnp.asarray([1, 2]))
+    state = state.update(preds, labels, jnp.asarray(0.7), 2.0, clz=jnp.asarray([1, 3]))
+    s = state.summarize()
+    assert np.isclose(s["val_loss"], (0.5 * 2 + 0.7 * 2) / 4)
+    assert s["support"].sum() == 2 * int(np.asarray((labels != 3).sum()))
+    # zone banks: zone 1 saw 3 samples, zone 2 one, zone 3 one
+    assert len(s["zones"]) == 3
+
+
+def test_per_sample_confusion_shapes():
+    labels = jnp.zeros((4, 8, 8), jnp.int32)
+    preds = jnp.zeros((4, 8, 8), jnp.int32)
+    cms = metrics.per_sample_confusion(preds, labels)
+    assert cms.shape == (4, 4, 4)
+    assert int(cms[0, 0, 0]) == 64
+
+
+def test_aoi_host_bank():
+    bank = metrics.HostAOIMetrics()
+    cms = np.zeros((2, 4, 4), np.int64)
+    cms[0, 0, 0] = 10
+    cms[1, 1, 1] = 5
+    bank.update(cms, np.asarray([130, 470]))
+    bank.update(cms, np.asarray([130, 130]))
+    out = bank.summarize()
+    assert set(out.keys()) == {130, 470}
+    assert out[130]["support"].sum() == 25
