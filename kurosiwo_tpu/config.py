@@ -153,10 +153,17 @@ def load_config(
         model_config["backbone"] = backbone
     config.update(model_config)
 
-    config = update_config(config, args=args, config_root=config_root)
-
     if overrides:
+        # apply before update_config so keys that feed derived values
+        # (slc, dem, inputs, channels, task) shape the channel math ...
         config.update(overrides)
+    config = update_config(config, args=args, config_root=config_root)
+    if overrides:
+        # ... and again after, so overrides also win over the merged
+        # data/train config files (e.g. batch_size)
+        config.update(overrides)
+        config["num_channels"] = derive_num_channels(config)
+
     config["model_config"] = model_config
     return config
 

@@ -110,7 +110,8 @@ class Loader:
     # -- decode -----------------------------------------------------------
     def _read(self, record: Record) -> RawSample:
         if self.synthetic:
-            return synthetic_raw_sample(record, self.config, seed=self.seed)
+            size = int(self.config.get("synthetic_patch_size", 224))
+            return synthetic_raw_sample(record, self.config, size=size, seed=self.seed)
         return read_raw_sample(str(self.config.get("root_path", ".")), record, self.config)
 
     def _process(self, record: Record) -> dict:

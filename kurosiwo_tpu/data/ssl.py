@@ -116,9 +116,10 @@ class SSLLoader:
         cfg = self.config
         clamp = cfg.get("clamp_input", 0.15)
         if self.synthetic:
+            size = int(cfg.get("synthetic_patch_size", 224))
             rng = np.random.RandomState((self._seed * 7_654_321 + idx) % (2**31 - 1))
             parts = [
-                np.clip(rng.gamma(2.0, (clamp or 0.15) / 6.0, (224, 224, 2)), 0, clamp).astype(np.float32)
+                np.clip(rng.gamma(2.0, (clamp or 0.15) / 6.0, (size, size, 2)), 0, clamp).astype(np.float32)
                 for _ in range(3)
             ]
         else:
@@ -138,10 +139,12 @@ class SSLLoader:
         batches = [ids[i : i + bs] for i in range(0, len(ids), bs) if i + bs <= len(ids)]
 
         def produce(batch_ids):
+            out_size = int(self.config.get("image_size", 224))
+
             def one(i):
                 rng = np.random.default_rng(self._seed + 31 * int(i) + self._epoch_tag)
                 img = self._read_stack(self.samples[int(i)], int(i))
-                return random_resized_crop_flip(img, rng)
+                return random_resized_crop_flip(img, rng, size=out_size)
 
             with ThreadPoolExecutor(max_workers=self.workers) as pool:
                 imgs = list(pool.map(one, batch_ids))

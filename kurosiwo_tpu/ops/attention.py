@@ -23,6 +23,18 @@ import jax.numpy as jnp
 _FLASH_MIN_SEQ = 1024
 
 
+def _pick_block(n: int, want: int = 256) -> int | None:
+    """Largest 128-multiple block <= want that divides n (TPU lane tiling);
+    None when n has no such divisor — caller falls back to XLA attention."""
+    b = min(want, n)
+    b -= b % 128
+    while b >= 128:
+        if n % b == 0:
+            return b
+        b -= 128
+    return None
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -34,11 +46,18 @@ def attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_flash is None:
-        use_flash = q.shape[-2] >= _FLASH_MIN_SEQ and k.shape[-2] >= _FLASH_MIN_SEQ
+        use_flash = (
+            q.shape[-2] >= _FLASH_MIN_SEQ
+            and k.shape[-2] >= _FLASH_MIN_SEQ
+            and _pick_block(q.shape[-2]) is not None
+            and _pick_block(k.shape[-2]) is not None
+        )
     if use_flash:
         from .pallas_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        bq = _pick_block(q.shape[-2])
+        bk = _pick_block(k.shape[-2], want=512)
+        return flash_attention(q, k, v, scale, bq, bk)
     acc_dtype = jnp.float32
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_dtype) * scale
     probs = jax.nn.softmax(scores, axis=-1)

@@ -1,0 +1,224 @@
+"""Pallas TPU flash attention (non-causal, fwd + bwd).
+
+The long-sequence path for whole-scene SAR inference (SURVEY.md §5.7): the
+reference tiles scenes into 224x224 patches because its attention
+materializes (N, N) scores; this kernel never does, so a ViT can attend over
+thousands of patch tokens (a full Sentinel-1 scene mosaic) in one pass.
+
+Design (per (batch*heads, q-block) grid cell):
+  * q block (block_q, d) resident in VMEM; k/v streamed block-by-block by
+    the Pallas pipeline (block_k rows at a time);
+  * online softmax with running (max, sum) in f32 scratch; accumulation in
+    f32; output cast back to the input dtype;
+  * backward = two kernels with the standard flash recomputation:
+    dq from (do, k, v, lse, delta); dk/dv from streaming q blocks.
+
+Short sequences (ViT's 197 tokens) stay on the XLA einsum path
+(kurosiwo_tpu.ops.attention) — at that size a kernel buys nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k):
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    n = k_ref.shape[1]
+    bq, d = q.shape
+    num_kv = pl.cdiv(n, block_k)
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m_i + jnp.log(l_i))[:, 0]
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    n = k_ref.shape[1]
+    bq, d = q.shape
+    num_kv = pl.cdiv(n, block_k)
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    dq_ref[0] = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((bq, d), jnp.float32)).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q):
+    k = k_ref[0].astype(jnp.float32)  # (bk, d)
+    v = v_ref[0].astype(jnp.float32)
+    n = q_ref.shape[1]
+    bk, d = k.shape
+    num_q = pl.cdiv(n, block_q)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        p = jnp.exp(s - lse)
+        dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk, dv = jax.lax.fori_loop(
+        0, num_q, body, (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32))
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, nk, d)
+    vf = v.reshape(bh, nk, d)
+    grid = (bh, pl.cdiv(n, block_q))
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, n, d), lse.reshape(b, h, n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-head flash attention on (B, H, N, D); returns (B, H, N, D)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, interpret, residuals, do):
+    q, k, v, out, lse = residuals
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b,h,n)
+    qf, kf, vf = (t.reshape(bh, -1, d) for t in (q, k, v))
+    dof = do.reshape(bh, n, d)
+    lsef = lse.reshape(bh, 1, n)
+    deltaf = delta.reshape(bh, 1, n)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k),
+        grid=(bh, pl.cdiv(n, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q),
+        grid=(bh, pl.cdiv(nk, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    return dq.reshape(b, h, n, d), dk.reshape(b, h, nk, d), dv.reshape(b, h, nk, d)
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

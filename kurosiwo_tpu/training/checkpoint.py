@@ -33,20 +33,21 @@ class CheckpointManager:
         self.dir.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
 
-    def _tree(self, state: TrainState, extra: dict | None = None) -> dict:
-        tree = {
+    def _tree(self, state: TrainState) -> dict:
+        return {
             "step": state.step,
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
         }
-        if extra:
-            tree["extra"] = extra
-        return tree
 
     def save(self, name: str, state: TrainState, extra: dict | None = None, force: bool = True):
         path = self.dir / name
-        self._ckpt.save(path, self._tree(state, extra), force=force)
+        self._ckpt.save(path, self._tree(state), force=force)
+        # metadata rides beside the array tree so restore targets never need
+        # to guess its structure
+        if extra:
+            (self.dir / f"{name}.extra.json").write_text(json.dumps(extra))
 
     def save_best(self, state: TrainState, epoch: int, metric: float):
         self.save("best_segmentation", state, extra={"epoch": epoch, "metric": metric})
@@ -67,7 +68,9 @@ class CheckpointManager:
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
         )
-        return new_state, restored.get("extra", {})
+        extra_path = self.dir / f"{name}.extra.json"
+        extra = json.loads(extra_path.read_text()) if extra_path.exists() else {}
+        return new_state, extra
 
     def wait(self):
         self._ckpt.wait_until_finished()

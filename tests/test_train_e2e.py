@@ -14,6 +14,7 @@ def _small(cfg, **kw):
     out.update(
         batch_size=8,  # divisible by the 8-device data axis
         synthetic_size=16,
+        synthetic_patch_size=64,  # tiny patches keep CPU compile fast
         epochs=1,
         print_frequency=1000,
     )
@@ -97,7 +98,7 @@ def test_mae_e2e(base_config, tmp_path):
         num_channels=6,
     )
     mcfg = {
-        "image_size": 224, "patch_size": 16, "dim": 64, "depth": 1, "heads": 2,
+        "image_size": 64, "patch_size": 16, "dim": 64, "depth": 1, "heads": 2,
         "mlp_dim": 64, "decoder_dim": 32, "decoder_depth": 1, "decoder_heads": 2,
         "masked_ratio": 0.75, "accumulate_gradients": 2, "warmup_epochs": 1,
         "learning_rate": 1e-4, "min_lr": 0,
