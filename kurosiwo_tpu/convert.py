@@ -1,0 +1,199 @@
+"""torch -> JAX checkpoint converter for the released Kuro Siwo artifacts.
+
+Parity targets (reference README.md:64-67): `best_segmentation.pt` (SNUNet,
+saved as a WHOLE pickled torch module by segmentation_trainer.py:255) and
+`floodvit.pt` (MAE-pretrained ViT encoder, train_mae.py:204-232). This module
+maps their state dicts onto the kurosiwo_tpu flax variable trees.
+
+Layout rules (torch -> flax/NHWC):
+  Conv2d            (O, I, kh, kw)  -> kernel (kh, kw, I, O)
+  ConvTranspose2d   (I, O, kh, kw)  -> TorchConvTranspose kernel (kh, kw, O, I)
+  Linear            (O, I)          -> Dense kernel (I, O)
+  BatchNorm2d       weight/bias/running_mean/running_var
+                    -> scale/bias (params) + mean/var (batch_stats)
+  LayerNorm         weight/bias     -> scale/bias
+
+torch is used ONLY here (host-side, one-shot conversion) — never on any
+runtime path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint: handles raw state dicts, trainer-style
+    {'model_state_dict': ...} wrappers, and whole pickled modules."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    elif isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv_transpose_kernel(w: np.ndarray) -> np.ndarray:
+    # torch (I, O, kh, kw) -> TorchConvTranspose (kh, kw, O, I)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def dense_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: dict, path: tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_conv(params, prefix: tuple, sd, key):
+    _set(params, prefix + ("kernel",), conv_kernel(sd[f"{key}.weight"]))
+    if f"{key}.bias" in sd:
+        _set(params, prefix + ("bias",), sd[f"{key}.bias"])
+
+
+def _convert_tconv(params, prefix: tuple, sd, key):
+    _set(params, prefix + ("kernel",), conv_transpose_kernel(sd[f"{key}.weight"]))
+    if f"{key}.bias" in sd:
+        _set(params, prefix + ("bias",), sd[f"{key}.bias"])
+
+
+def _convert_bn(params, batch_stats, prefix: tuple, sd, key):
+    _set(params, prefix + ("scale",), sd[f"{key}.weight"])
+    _set(params, prefix + ("bias",), sd[f"{key}.bias"])
+    _set(batch_stats, prefix + ("mean",), sd[f"{key}.running_mean"])
+    _set(batch_stats, prefix + ("var",), sd[f"{key}.running_var"])
+
+
+def _convert_dense(params, prefix: tuple, sd, key):
+    _set(params, prefix + ("kernel",), dense_kernel(sd[f"{key}.weight"]))
+    if f"{key}.bias" in sd:
+        _set(params, prefix + ("bias",), sd[f"{key}.bias"])
+
+
+def _convert_ln(params, prefix: tuple, sd, key):
+    _set(params, prefix + ("scale",), sd[f"{key}.weight"])
+    _set(params, prefix + ("bias",), sd[f"{key}.bias"])
+
+
+# ---------------------------------------------------------------------------
+# SNUNet (reference models/snunet.py <-> kurosiwo_tpu/models/snunet.py)
+# ---------------------------------------------------------------------------
+
+def convert_snunet(sd: dict[str, np.ndarray]) -> dict:
+    """state_dict of SNUNet_ECAM -> {'params': ..., 'batch_stats': ...}."""
+    params: dict = {}
+    bstats: dict = {}
+    blocks = [k.split(".")[0] for k in sd.keys()]
+    conv_blocks = sorted({b for b in blocks if re.fullmatch(r"conv\d_\d", b)})
+    for b in conv_blocks:
+        _convert_conv(params, (b, "conv1"), sd, f"{b}.conv1")
+        _convert_bn(params, bstats, (b, "bn1"), sd, f"{b}.bn1")
+        _convert_conv(params, (b, "conv2"), sd, f"{b}.conv2")
+        _convert_bn(params, bstats, (b, "bn2"), sd, f"{b}.bn2")
+    up_blocks = sorted({b for b in blocks if re.fullmatch(r"Up\d_\d", b)})
+    for b in up_blocks:
+        _convert_tconv(params, (b, "up"), sd, f"{b}.up")
+    for ca in ("ca", "ca1"):
+        _convert_conv(params, (ca, "fc1"), sd, f"{ca}.fc1")
+        _convert_conv(params, (ca, "fc2"), sd, f"{ca}.fc2")
+    _convert_conv(params, ("conv_final",), sd, "conv_final")
+    return {"params": params, "batch_stats": bstats}
+
+
+# ---------------------------------------------------------------------------
+# FloodViT (reference models/vision_transformer.py <-> models/vit.py)
+# ---------------------------------------------------------------------------
+
+def convert_floodvit(sd: dict[str, np.ndarray]) -> dict:
+    """state_dict of the lucidrains-style ViT -> {'params': ...}.
+
+    Reference module names (vision_transformer.py):
+      to_patch_embedding.1 (LN), .2 (Linear), .3 (LN); pos_embedding;
+      cls_token; transformer.layers.{i}.0 = Attention (norm, to_qkv,
+      to_out.0), .1 = FeedForward (net.0 LN, net.1 fc1, net.4 fc2);
+      transformer.norm; mlp_head.
+    """
+    params: dict = {}
+    _convert_ln(params, ("patch_norm1",), sd, "to_patch_embedding.1")
+    _convert_dense(params, ("patch_proj",), sd, "to_patch_embedding.2")
+    _convert_ln(params, ("patch_norm2",), sd, "to_patch_embedding.3")
+    _set(params, ("pos_embedding",), sd["pos_embedding"])
+    _set(params, ("cls_token",), sd["cls_token"])
+    depth = 0
+    while f"transformer.layers.{depth}.0.to_qkv.weight" in sd:
+        i = depth
+        base = f"transformer.layers.{i}"
+        _convert_ln(params, ("transformer", f"attn_{i}", "norm"), sd, f"{base}.0.norm")
+        _convert_dense(params, ("transformer", f"attn_{i}", "to_qkv"), sd, f"{base}.0.to_qkv")
+        _convert_dense(params, ("transformer", f"attn_{i}", "to_out"), sd, f"{base}.0.to_out.0")
+        _convert_ln(params, ("transformer", f"ff_{i}", "norm"), sd, f"{base}.1.net.0")
+        _convert_dense(params, ("transformer", f"ff_{i}", "fc1"), sd, f"{base}.1.net.1")
+        _convert_dense(params, ("transformer", f"ff_{i}", "fc2"), sd, f"{base}.1.net.4")
+        depth += 1
+    _convert_ln(params, ("transformer", "norm"), sd, "transformer.norm")
+    if "mlp_head.weight" in sd:
+        _convert_dense(params, ("mlp_head",), sd, "mlp_head")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Siamese UNets (reference models/siam_diff.py / siam_conc.py <-> models/siam.py)
+# ---------------------------------------------------------------------------
+
+_SIAM_ENC = [
+    ("c11", "11"), ("c12", "12"), ("c21", "21"), ("c22", "22"),
+    ("c31", "31"), ("c32", "32"), ("c33", "33"),
+    ("c41", "41"), ("c42", "42"), ("c43", "43"),
+]
+_SIAM_DEC = [
+    # (our stage module, torch suffix)
+    ("dec4_0", "43d"), ("dec4_1", "42d"), ("dec4_2", "41d"),
+    ("dec3_0", "33d"), ("dec3_1", "32d"), ("dec3_2", "31d"),
+    ("dec2_0", "22d"), ("dec2_1", "21d"),
+    ("dec1_0", "12d"),
+]
+
+
+def convert_siam(sd: dict[str, np.ndarray]) -> dict:
+    params: dict = {}
+    bstats: dict = {}
+    for ours, theirs in _SIAM_ENC:
+        _convert_conv(params, ("encoder", ours, "conv"), sd, f"conv{theirs}")
+        _convert_bn(params, bstats, ("encoder", ours, "bn"), sd, f"bn{theirs}")
+    for i in (4, 3, 2, 1):
+        _convert_tconv(params, (f"upconv{i}",), sd, f"upconv{i}")
+    for ours, theirs in _SIAM_DEC:
+        _convert_tconv(params, (ours, "conv"), sd, f"conv{theirs}")
+        _convert_bn(params, bstats, (ours, "bn"), sd, f"bn{theirs}")
+    _convert_tconv(params, ("classifier",), sd, "conv11d")
+    return {"params": params, "batch_stats": bstats}
+
+
+CONVERTERS: dict[str, Callable[[dict], dict]] = {
+    "snunet": convert_snunet,
+    "floodvit": convert_floodvit,
+    "vit": convert_floodvit,
+    "siam-diff": convert_siam,
+    "siam-conc": convert_siam,
+}
+
+
+def convert(path: str, model: str) -> dict:
+    """CLI-facing conversion: torch checkpoint file -> flax variables."""
+    sd = load_torch_state_dict(path)
+    if model not in CONVERTERS:
+        raise KeyError(f"no converter for {model!r}; have {sorted(CONVERTERS)}")
+    return CONVERTERS[model](sd)

@@ -1,0 +1,244 @@
+"""Device-side batched augmentations.
+
+Reference counterpart: `/root/reference/utilities/augmentations.py:4-42`
+(albumentations Compose applied per-sample on CPU inside DataLoader workers)
+driven by configs/augmentations/augmentation.json, and the paired
+image+mask application in Dataset.create_views
+(`/root/reference/dataset/Dataset.py:171-190, 793-809`).
+
+TPU-native redesign: the whole batch is augmented INSIDE the jitted train
+step with vectorized transforms and an explicit PRNG key —
+  * RandomResizedCrop: per-sample crop box -> vmapped
+    jax.image.scale_and_translate (separable interpolation = two matmuls,
+    MXU-friendly; no per-pixel gathers), bilinear for images / nearest for
+    masks; albumentations samples area-scale and log-uniform aspect;
+  * Horizontal/Vertical flip: jnp.where on reversed views;
+  * GaussianBlur: separable conv with per-sample sigma, static kernel width
+    sized for sigma_limit's max;
+  * GaussNoise / MultiplicativeNoise, Cutout (CoarseDropout): mask algebra;
+  * the reference's discard-if-empty rule (augmented views with zero valid
+    pixels are dropped, Dataset.py:797-803) becomes a jnp.where select per
+    sample.
+
+The same transform instance is applied to all three acquisitions and both
+masks of a sample (paired views).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_crop_boxes(key, batch, h, w, scale, ratio=(3 / 4, 4 / 3)):
+    """Per-sample (y0, x0, ch, cw) in pixels, albumentations-style sampling."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = h * w
+    target_area = jax.random.uniform(k1, (batch,), minval=scale[0], maxval=scale[1]) * area
+    log_ratio = jax.random.uniform(
+        k2, (batch,), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
+    )
+    aspect = jnp.exp(log_ratio)
+    cw = jnp.sqrt(target_area * aspect)
+    ch = jnp.sqrt(target_area / aspect)
+    cw = jnp.clip(cw, 8.0, w)
+    ch = jnp.clip(ch, 8.0, h)
+    y0 = jax.random.uniform(k3, (batch,)) * (h - ch)
+    x0 = jax.random.uniform(k4, (batch,)) * (w - cw)
+    return y0, x0, ch, cw
+
+
+def _crop_resize(img, y0, x0, ch, cw, out_h, out_w, method):
+    """Resample the crop box to (out_h, out_w) via scale_and_translate.
+    scale maps source->output: s = out/crop; translation t = -y0 * s."""
+    sy = out_h / ch
+    sx = out_w / cw
+    scale = jnp.stack([sy, sx])
+    translation = jnp.stack([-y0 * sy, -x0 * sx])
+    return jax.image.scale_and_translate(
+        img, (out_h, out_w, img.shape[-1]), (0, 1), scale, translation, method, antialias=False
+    )
+
+
+def _nearest_selection(src0, crop, in_dim, out_dim):
+    """(out_dim, in_dim) one-hot row-selection matrix for nearest resampling
+    of a crop [src0, src0+crop) to out_dim — expressed as comparisons against
+    a broadcasted iota so the resample is a matmul, not a gather."""
+    u = (jnp.arange(out_dim, dtype=jnp.float32) + 0.5) * (crop / out_dim) + src0
+    idx = jnp.clip(jnp.floor(u), 0, in_dim - 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (out_dim, in_dim), 1)
+    return (cols == idx[:, None]).astype(jnp.float32)
+
+
+def _crop_resize_nearest(mask2d, y0, x0, ch, cw, out_h, out_w):
+    """Nearest crop-resize of a 2D integer mask via two selection matmuls."""
+    in_h, in_w = mask2d.shape
+    sh = _nearest_selection(y0, ch, in_h, out_h)  # (out_h, in_h)
+    sw = _nearest_selection(x0, cw, in_w, out_w)  # (out_w, in_w)
+    m = mask2d.astype(jnp.float32)
+    out = sh @ m @ sw.T  # exact one-hot selection
+    return jnp.round(out).astype(mask2d.dtype)
+
+
+def random_resized_crop(key, images: list, masks: list, out_size: int, scale):
+    """Paired crop of every image (bilinear) and mask (nearest) in a sample
+    batch. images: list of (B, H, W, C); masks: list of (B, H, W)."""
+    b, h, w = images[0].shape[:3]
+    y0, x0, ch, cw = _sample_crop_boxes(key, b, h, w, scale)
+
+    def one(img, y0, x0, ch, cw, method):
+        return _crop_resize(img, y0, x0, ch, cw, out_size, out_size, method)
+
+    out_images = [
+        jax.vmap(lambda im, a, bb, c, d: one(im, a, bb, c, d, "linear"))(img, y0, x0, ch, cw)
+        for img in images
+    ]
+    out_masks = [
+        jax.vmap(lambda m, a, bb, c, d: _crop_resize_nearest(m, a, bb, c, d, out_size, out_size))(
+            m, y0, x0, ch, cw
+        )
+        for m in masks
+    ]
+    return out_images, out_masks
+
+
+def flips(key, images: list, masks: list, p_h: float, p_v: float):
+    b = images[0].shape[0]
+    kh, kv = jax.random.split(key)
+    do_h = jax.random.bernoulli(kh, p_h, (b, 1, 1, 1))
+    do_v = jax.random.bernoulli(kv, p_v, (b, 1, 1, 1))
+    images = [jnp.where(do_h, img[:, :, ::-1], img) for img in images]
+    images = [jnp.where(do_v, img[:, ::-1], img) for img in images]
+    masks = [jnp.where(do_h[..., 0], m[:, :, ::-1], m) for m in masks]
+    masks = [jnp.where(do_v[..., 0], m[:, ::-1], m) for m in masks]
+    return images, masks
+
+
+def gaussian_blur(key, images: list, p: float, sigma_limit=(0.1, 2.0)):
+    b = images[0].shape[0]
+    ks, kp = jax.random.split(key)
+    sigma = jax.random.uniform(ks, (b,), minval=sigma_limit[0], maxval=sigma_limit[1])
+    apply = jax.random.bernoulli(kp, p, (b,))
+    radius = max(1, int(math.ceil(3 * sigma_limit[1])))
+    offsets = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    # Separable blur vectorized over batch with PER-SAMPLE kernels: build
+    # (B, K) weights and contract over a stack of K shifted views per axis
+    # (pure VPU elementwise+reduce; no gathers, static shapes).
+    K = 2 * radius + 1
+    kern = jnp.exp(-0.5 * (offsets[None, :] / sigma[:, None]) ** 2)
+    kern = kern / jnp.sum(kern, axis=1, keepdims=True)  # (B, K)
+
+    def blur_axis(img, axis):
+        pads = [(0, 0)] * img.ndim
+        pads[axis] = (radius, radius)
+        padded = jnp.pad(img, pads, mode="reflect")
+        stack = jnp.stack(
+            [jax.lax.slice_in_dim(padded, i, i + img.shape[axis], axis=axis) for i in range(K)],
+            axis=-1,
+        )  # (..., K)
+        w = kern.reshape((img.shape[0],) + (1,) * (img.ndim - 1) + (K,))
+        return jnp.sum(stack * w, axis=-1)
+
+    out = []
+    for img in images:
+        blurred = blur_axis(blur_axis(img.astype(jnp.float32), 1), 2).astype(img.dtype)
+        out.append(jnp.where(apply[:, None, None, None], blurred, img))
+    return out
+
+
+def gauss_noise(key, images: list, p: float, var_limit=(10.0, 50.0), scale: float = 1.0 / 255):
+    b = images[0].shape[0]
+    out = []
+    for i, img in enumerate(images):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, i), 3)
+        apply = jax.random.bernoulli(k1, p, (b, 1, 1, 1))
+        var = jax.random.uniform(k2, (b, 1, 1, 1), minval=var_limit[0], maxval=var_limit[1])
+        noise = jax.random.normal(k3, img.shape) * jnp.sqrt(var) * scale
+        out.append(jnp.where(apply, img + noise.astype(img.dtype), img))
+    return out
+
+
+def multiplicative_noise(key, images: list, p: float, limits=(0.9, 1.1)):
+    b = images[0].shape[0]
+    out = []
+    for i, img in enumerate(images):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        apply = jax.random.bernoulli(k1, p, (b, 1, 1, 1))
+        mult = jax.random.uniform(k2, img.shape, minval=limits[0], maxval=limits[1])
+        out.append(jnp.where(apply, img * mult.astype(img.dtype), img))
+    return out
+
+
+def cutout(key, images: list, masks: list, p: float, num_holes: int = 8, size: int = 8):
+    b, h, w = images[0].shape[:3]
+    k1, k2, k3 = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k1, p, (b,))
+    ys = jax.random.randint(k2, (b, num_holes), 0, h - size)
+    xs = jax.random.randint(k3, (b, num_holes), 0, w - size)
+    row = jnp.arange(h)[None, :, None, None]
+    col = jnp.arange(w)[None, None, :, None]
+    inside = (
+        (row >= ys[:, None, None, :]) & (row < ys[:, None, None, :] + size)
+        & (col >= xs[:, None, None, :]) & (col < xs[:, None, None, :] + size)
+    ).any(axis=-1)
+    keep = ~(inside & apply[:, None, None])
+    images = [img * keep[..., None].astype(img.dtype) for img in images]
+    return images, masks
+
+
+def augment_batch(key, batch: dict, config: dict) -> dict:
+    """Apply the configured augmentation pipeline to a batch dict (paired
+    across post/pre1/pre2 + mask/valid), replicating get_augmentations'
+    composition order. Samples whose augmented valid mask is empty keep
+    their originals (Dataset.py:797-803)."""
+    aug = config.get("augmentations")
+    if not aug:
+        return batch
+    image_keys = [k for k in ("post", "pre1", "pre2", "dem") if k in batch]
+    mask_keys = [k for k in ("mask", "valid") if k in batch]
+    images = [batch[k] for k in image_keys]
+    masks = [batch[k] for k in mask_keys]
+    orig_images, orig_masks = images, masks
+
+    keys = jax.random.split(key, 8)
+    rrc = aug.get("RandomResizedCrop", {})
+    if rrc.get("p", 0) > 0:
+        images, masks = random_resized_crop(
+            keys[0], images, masks, int(rrc.get("value", images[0].shape[1])),
+            tuple(rrc.get("scale", (0.2, 1.0))),
+        )
+    gb = aug.get("GaussianBlur", {})
+    if gb.get("p", 0) > 0:
+        images = gaussian_blur(keys[1], images, gb["p"], tuple(gb.get("sigma_limit", (0.1, 2.0))))
+    images, masks = flips(
+        keys[2], images, masks,
+        aug.get("HorizontalFlip", {}).get("p", 0.0), aug.get("VerticalFlip", {}).get("p", 0.0),
+    )
+    gn = aug.get("GaussNoise", {})
+    if gn.get("p", 0) > 0:
+        images = gauss_noise(keys[3], images, gn["p"])
+    mn = aug.get("MultNoise", {})
+    if mn.get("p", 0) > 0:
+        images = multiplicative_noise(keys[4], images, mn["p"])
+    co = aug.get("Cutout", {})
+    if co.get("p", 0) > 0:
+        images, masks = cutout(keys[5], images, masks, co["p"])
+
+    # discard-if-empty: keep original sample when no valid pixels survive
+    if "valid" in batch:
+        vi = mask_keys.index("valid")
+        has_valid = jnp.sum(masks[vi], axis=(1, 2)) > 0
+        sel_img = has_valid[:, None, None, None]
+        sel_mask = has_valid[:, None, None]
+        images = [jnp.where(sel_img, a, o) for a, o in zip(images, orig_images)]
+        masks = [jnp.where(sel_mask, a, o) for a, o in zip(masks, orig_masks)]
+
+    out = dict(batch)
+    for k, v in zip(image_keys, images):
+        out[k] = v
+    for k, v in zip(mask_keys, masks):
+        out[k] = v
+    return out

@@ -123,7 +123,9 @@ class ConvBNAct(nn.Module):
 
 
 class ConvTranspose2x(nn.Module):
-    """torch ConvTranspose2d(C, C_out, kernel=2, stride=2) — exact 2x upsample."""
+    """torch ConvTranspose2d(C_in, C_out, kernel=2, stride=2) — exact 2x
+    upsample. Delegates to TorchConvTranspose so checkpoint conversion uses
+    one weight-layout rule for every transposed conv in the zoo."""
 
     features: int
     kernel: int = 2
@@ -132,32 +134,10 @@ class ConvTranspose2x(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(2, 2),
-            padding="VALID",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
+        return TorchConvTranspose(
+            self.features, self.kernel, stride=2, padding=0,
+            use_bias=self.use_bias, dtype=self.dtype, name="up",
         )(x)
-
-
-def conv_transpose_torch(
-    x: jnp.ndarray,
-    features: int,
-    kernel: int,
-    stride: int,
-    padding: int,
-    output_padding: int = 0,
-    use_bias: bool = True,
-    dtype=jnp.float32,
-    name: str | None = None,
-    module: nn.Module | None = None,
-):
-    """torch-semantics ConvTranspose2d for arbitrary (kernel, stride, padding,
-    output_padding). flax's ConvTranspose uses different padding conventions,
-    so we express it directly: out = (in-1)*s - 2p + k + output_padding."""
-    raise NotImplementedError("use TorchConvTranspose module")
 
 
 class TorchConvTranspose(nn.Module):

@@ -121,8 +121,14 @@ def make_train_step(
     }[task]
     multi_weights = model_config.get("multi_pred_weights")
     use_multiscale_loss = bool(model_config.get("multi_scale_train"))
+    use_augment = bool(config.get("data_augmentations")) and bool(config.get("augmentations"))
 
     def train_step(state: TrainState, batch: dict, metric_state: MetricState, lr, rng):
+        if use_augment:
+            from ..data.augment import augment_batch
+
+            rng, aug_rng = jax.random.split(rng)
+            batch = augment_batch(aug_rng, batch, config)
         inputs = assemble(batch, config)
         model_inputs = inputs if isinstance(inputs, tuple) else (inputs,)
         mask = batch["mask"]

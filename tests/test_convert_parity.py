@@ -1,0 +1,109 @@
+"""Numeric parity: reference torch models -> convert.py -> kurosiwo_tpu flax
+models must produce matching outputs on identical inputs.
+
+The reference implementation at /root/reference is imported AT TEST TIME as a
+behavioral oracle (random-initialized, eval mode). This validates the exact
+weight-layout rules the released SNUNet / FloodViT checkpoints will go
+through. Skipped when the reference tree is absent.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted")
+
+
+def _load_ref_module(relpath, name):
+    spec = importlib.util.spec_from_file_location(name, REF / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def torch():
+    import torch
+
+    torch.manual_seed(0)
+    return torch
+
+
+def test_snunet_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_snunet
+    from kurosiwo_tpu.models.snunet import SNUNetECAM
+
+    ref_mod = _load_ref_module("models/snunet.py", "ref_snunet")
+    tm = ref_mod.SNUNet_ECAM(in_channels=2, out_ch=3, base_channel=8).eval()
+
+    x = np.random.RandomState(0).randn(2, 2, 64, 64).astype(np.float32)
+    y = np.random.RandomState(1).randn(2, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_snunet({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = SNUNetECAM(num_classes=3, base_channel=8, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_floodvit_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_floodvit
+    from kurosiwo_tpu.models.vit import ViT
+
+    ref_mod = _load_ref_module("models/vision_transformer.py", "ref_vit")
+    tm = ref_mod.ViT(
+        image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+        heads=4, mlp_dim=128, channels=6, dim_head=16, pool="cls",
+    ).eval()
+
+    x = np.random.RandomState(2).randn(2, 6, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x)).numpy()  # (B, N, dim) patch tokens
+
+    variables = convert_floodvit({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = ViT(
+        image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+        heads=4, mlp_dim=128, channels=6, dim_head=16, pool="cls", dtype=jnp.float32,
+    )
+    ours = model.apply({"params": variables["params"]}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_siam_diff_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_siam
+    from kurosiwo_tpu.models.siam import SiamUnetDiff
+
+    ref_mod = _load_ref_module("models/siam_diff.py", "ref_siam_diff")
+    tm = ref_mod.SiamUnet_diff(input_nbr=2, label_nbr=3).eval()
+
+    x = np.random.RandomState(3).randn(1, 2, 64, 64).astype(np.float32)
+    y = np.random.RandomState(4).randn(1, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_siam({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = SiamUnetDiff(num_classes=3, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
