@@ -60,6 +60,12 @@ class Loader:
             n = int(config.get("synthetic_size", {"train": 256, "val": 64, "test": 64}.get(mode, 64)))
             acts = config.get(f"{'train' if mode == 'train' else mode}_acts") or [130]
             self.records = synthetic_records(n, list(acts), seed)
+            if config.get("task") == "diffusion-unsup":
+                import dataclasses as _dc
+
+                self.records = [
+                    _dc.replace(r, type=t) for r in self.records for t in ("pre1", "pre2", "flood")
+                ]
             self.positive_records = [r for r in self.records if r.positive]
             self.negative_records = [r for r in self.records if not r.positive]
             self.stats = None
@@ -118,6 +124,17 @@ class Loader:
         raw = self._read(record)
         cfg = self.config
         out: dict = {}
+        if record.type is not None:
+            # diffusion-unsup: one record per observation (Dataset.py:118-130)
+            img = {"pre1": raw.pre1, "pre2": raw.pre2, "flood": raw.post}[record.type]
+            if cfg.get("scale_input") is not None:
+                _, _, img = scale_img(img, raw.valid == 1, record.type, raw.activation, cfg, self.stats)
+            return {
+                "image": img.astype(np.float32),
+                "clz": np.int32(raw.clz),
+                "activation": np.int32(raw.activation),
+                "sample_weight": np.float32(1.0),
+            }
         scale_mode = cfg.get("scale_input")
         if scale_mode is not None:
             valid_bool = raw.valid == 1

@@ -55,7 +55,28 @@ class RawSample:
     activation: int
 
 
+_USE_NATIVE: bool | None = None
+
+
 def _imread(path: str) -> np.ndarray:
+    """Tile decode: the native libtiff thread-pool decoder when available
+    (set KUROSIWO_NATIVE_DECODE=0 to force cv2), else cv2 IMREAD_ANYDEPTH
+    like the reference."""
+    global _USE_NATIVE
+    if _USE_NATIVE is None:
+        if os.environ.get("KUROSIWO_NATIVE_DECODE", "1") == "0":
+            _USE_NATIVE = False
+        else:
+            from . import native
+
+            _USE_NATIVE = native.available()
+    if _USE_NATIVE:
+        from . import native
+
+        try:
+            return native.decode_tile(path)
+        except IOError:
+            pass  # fall through to cv2 for exotic encodings
     img = cv.imread(path, cv.IMREAD_ANYDEPTH)
     if img is None:
         raise IOError(f"failed to decode tile {path}")

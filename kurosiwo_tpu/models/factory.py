@@ -25,6 +25,11 @@ def initialize_segmentation_model(config: dict, model_config: dict):
     method = config["method"].lower()
     nc = config["num_classes"]
     dt = _dtype(config)
+    if config.get("task") == "diffusion-unsup":
+        from .diffusion import DDPMUnet, GaussianDiffusion
+
+        unet = DDPMUnet(dim=64, dim_mults=(1, 2, 4, 8), channels=2, dtype=dt)
+        return GaussianDiffusion(model=unet, timesteps=1000, loss_type="l1")
     if method == "unet":
         from .unet import UNet
 

@@ -1,0 +1,87 @@
+"""Catalogue builder: gpkg (sqlite) round trip -> grid_dict pickle -> Loader."""
+
+import gzip
+import pickle
+import sqlite3
+import uuid
+
+import numpy as np
+import pytest
+
+from kurosiwo_tpu import catalogue
+from kurosiwo_tpu.data.index import load_grid_index
+
+
+@pytest.fixture
+def fake_gpkg(tmp_path):
+    path = tmp_path / "catalogue.gpkg"
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+    con.execute("INSERT INTO gpkg_contents VALUES ('grids', 'features')")
+    con.execute(
+        "CREATE TABLE grids (grid_id TEXT, gvalid INT, pcovered REAL, pwater REAL,"
+        " pflood REAL, actid INT, aoiid INT, master INT, crank INT)"
+    )
+    rows = []
+    rs = np.random.RandomState(0)
+    for i in range(20):
+        rows.append(
+            (
+                uuid.UUID(int=i).hex, 1, float(rs.uniform(0, 100)), float(rs.uniform(0, 20)),
+                float(rs.uniform(0, 20)), 130 if i % 2 == 0 else 470, i % 3, 1, 1,
+            )
+        )
+    rows.append((uuid.UUID(int=999).hex, 0, 50.0, 5.0, 5.0, 130, 0, 1, 1))  # invalid
+    con.executemany("INSERT INTO grids VALUES (?,?,?,?,?,?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    return path
+
+
+def test_read_and_filter(fake_gpkg):
+    rows = catalogue.read_catalogue(fake_gpkg)
+    assert len(rows) == 21
+    kept = catalogue.filter_rows(rows, pcovered=[40, 100])
+    assert all(40 <= r["pcovered"] <= 100 for r in kept)
+    assert all(r["gvalid"] for r in kept)
+
+
+def test_build_and_load_grid_dict(fake_gpkg, tmp_path):
+    rows = catalogue.filter_rows(catalogue.read_catalogue(fake_gpkg))
+    gd = catalogue.build_grid_dict(rows, {})
+    out = tmp_path / "grid_dict.gz"
+    catalogue.write_grid_dict(gd, out)
+    loaded = load_grid_index(out)
+    assert len(loaded) == 20  # invalid grid dropped
+    one = next(iter(loaded.values()))
+    assert set(one) == {"path", "info", "clz", "clz_name"}
+    assert one["info"]["actid"] in (130, 470)
+    # path layout: actid/aoiid02/hex
+    parts = one["path"].split("/")
+    assert parts[0] in ("130", "470") and len(parts[1]) == 2
+
+
+def test_cli_info_and_write(fake_gpkg, tmp_path, capsys):
+    out = tmp_path / "out.gz"
+    catalogue.main([
+        "--catalogue_path", str(fake_gpkg), "-pv", "[0,100]", "--out", str(out)
+    ])
+    captured = capsys.readouterr().out
+    assert "Stats for query" in captured
+    assert out.exists()
+    with gzip.open(out, "rb") as f:
+        gd = pickle.load(f)
+    assert len(gd) == 20
+
+
+def test_cli_bad_range(fake_gpkg):
+    with pytest.raises(AssertionError):
+        catalogue.main(["--catalogue_path", str(fake_gpkg), "-pv", "[0,1000]"])
+
+
+def test_product_conventions():
+    assert catalogue.PRODUCT_NODATA == {"IVH": 0.0, "IVV": 0.0, "MNA": 0, "MLU": 3}
+    assert catalogue.product_type(True, 1) == "MS"
+    assert catalogue.product_type(False, 2) == "SL"
+    assert catalogue.product_type(True, 0) == "MK"
+    assert catalogue.grid_rel_path(130, None, "abcdef") == "130/00/ab/abcdef"
