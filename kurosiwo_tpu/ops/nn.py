@@ -66,8 +66,17 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int], align_corners: bool =
 
 
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize. Integer upscale factors use broadcast+reshape —
+    jax.image.resize's nearest path lowers to gather loops + layout copies on
+    TPU (profiled at ~25% of a UNet train step); the broadcast form is pure
+    relayout that XLA fuses."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, size[0], size[1], c), method="nearest")
+    oh, ow = size
+    if oh % h == 0 and ow % w == 0 and oh >= h and ow >= w:
+        fy, fx = oh // h, ow // w
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, fy, w, fx, c))
+        return y.reshape(b, oh, ow, c)
+    return jax.image.resize(x, (b, oh, ow, c), method="nearest")
 
 
 def upsample2x(x: jnp.ndarray, method: str = "nearest", align_corners: bool = False) -> jnp.ndarray:
