@@ -49,6 +49,7 @@ def main():
     p.add_argument("--batch", type=int, default=0)  # 0 = auto
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--remat", action="store_true", help="gradient checkpointing")
     args = p.parse_args()
 
     from kurosiwo_tpu.models.factory import (
@@ -66,6 +67,8 @@ def main():
     n_dev = len(jax.devices())
     batch = args.batch or (128 * n_dev)
     cfg = build_config(args.model, batch)
+    if args.remat:
+        cfg["remat"] = True
     task = "cd" if cfg["task"] == "cd" else "segmentation"
     mcfg = {"backbone": "resnet18", "learning_rate": 1e-3, "base_channel": 32, "optimizer": "adam"}
 

@@ -135,17 +135,46 @@ class TaskEngine:
     def run_eval(self, loader: Loader, settype: str = "Val") -> tuple[float, float, float, dict]:
         metric_state = MetricState.create()
         aoi = HostAOIMetrics() if self.with_aoi else None
-        for batch in loader:
+        # one random batch gets its first sample visualized, like the
+        # reference's wandb.Image logging (segmentation_trainer.py:516-587)
+        viz_enabled = bool(self.config.get("wandb_activate") or self.config.get("save_visualizations"))
+        viz_index = int(np.random.randint(0, max(len(loader), 1))) if viz_enabled else -1
+        for index, batch in enumerate(loader):
             device_batch = shard_batch(self.plan, batch)
             metric_state, loss, aux = self._eval_step(self.state, device_batch, metric_state)
             if aoi is not None:
                 aoi.update(np.asarray(aux["per_sample_cm"]), batch["activation"])
+            if index == viz_index:
+                self._log_visualization(batch, np.asarray(aux["preds"]), settype)
         summary = metric_state.summarize()
         self.logger.log_eval(settype, summary, aoi.summarize() if aoi else None)
         acc = 100.0 * summary["micro_accuracy"]
         mean_f1 = 100.0 * summary["mean_f1"]
         miou = 100.0 * summary["mean_iou"]
         return acc, mean_f1, miou, summary
+
+    def _log_visualization(self, batch: dict, preds: np.ndarray, settype: str):
+        """Reverse-scale sample 0 and emit image/GT/prediction overlays to
+        wandb (when active) or PNG files under the checkpoint dir."""
+        from ..utils.visualize import prediction_triptych, to_wandb_images
+
+        sv = None
+        if "flood_sv1" in batch and self.config.get("scale_input") is not None:
+            sv = (batch["flood_sv1"][0], batch["flood_sv2"][0])
+        trip = prediction_triptych(
+            batch["post"][0], preds[0], batch["mask"][0], sv, self.config
+        )
+        wimgs = to_wandb_images(trip) if self.config.get("wandb_activate") else None
+        if wimgs is not None and self.logger.wandb is not None:
+            self.logger.wandb.log({f"{settype} {k}": v for k, v in wimgs.items()})
+        elif self.config.get("save_visualizations"):
+            import cv2
+            from pathlib import Path
+
+            out_dir = Path(self.config.get("checkpoint_path", "checkpoints/run")) / "viz"
+            out_dir.mkdir(parents=True, exist_ok=True)
+            panel = np.concatenate(list(trip.values()), axis=1)
+            cv2.imwrite(str(out_dir / f"{settype.lower()}_sample.png"), panel[..., ::-1])
 
 
 def train_task(

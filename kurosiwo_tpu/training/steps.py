@@ -122,6 +122,10 @@ def make_train_step(
     multi_weights = model_config.get("multi_pred_weights")
     use_multiscale_loss = bool(model_config.get("multi_scale_train"))
     use_augment = bool(config.get("data_augmentations")) and bool(config.get("augmentations"))
+    # rematerialization: recompute activations in the backward pass instead of
+    # saving them — unlocks larger batches for the dense-decoder models
+    # (SNUNet at 224^2 OOMs a 16GB v5e above batch ~48 without it)
+    use_remat = bool(config.get("remat"))
 
     def train_step(state: TrainState, batch: dict, metric_state: MetricState, lr, rng):
         if use_augment:
@@ -134,9 +138,14 @@ def make_train_step(
         mask = batch["mask"]
 
         def loss_fn(params):
-            out, new_bs = _forward(
-                model, params, state.batch_stats, model_inputs, True, rngs={"dropout": rng, "mask": rng}
-            )
+            def fwd(params, *mi):
+                return _forward(
+                    model, params, state.batch_stats, mi, True, rngs={"dropout": rng, "mask": rng}
+                )
+
+            if use_remat:
+                fwd = jax.checkpoint(fwd, policy=jax.checkpoint_policies.nothing_saveable)
+            out, new_bs = fwd(params, *model_inputs)
             logits, all_heads = _combine_multiscale(out, config, model_config, True)
             if use_multiscale_loss and all_heads is not None and multi_weights is not None:
                 h, w = mask.shape[1:3]
