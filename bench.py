@@ -43,6 +43,57 @@ def build_config(model: str, batch: int):
     return cfg
 
 
+def bench_mae(args, n_dev: int):
+    """FloodViT MAE pretraining step (ViT-L dim1024/depth24, mask 0.75)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.models.factory import build_mae
+    from kurosiwo_tpu.ops import optim
+    from kurosiwo_tpu.parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
+    from kurosiwo_tpu.training.mae import make_mae_train_step
+    from kurosiwo_tpu.training.state import create_train_state
+
+    batch = args.batch or 64
+    cfg = {"num_channels": 6, "mixed_precision": True}
+    mcfg = {"image_size": 224, "patch_size": 16, "dim": 1024, "depth": 24, "heads": 16,
+            "mlp_dim": 2048, "decoder_dim": 512, "decoder_depth": 8, "decoder_heads": 16,
+            "masked_ratio": 0.75}
+    model = build_mae(cfg, mcfg)
+    tx = optim.create_optimizer(cfg, {"learning_rate": 1e-4}, task="mae")
+    plan = create_mesh()
+    rng = jax.random.PRNGKey(0)
+    state, _ = create_train_state(model, tx, rng, (jnp.zeros((2, 224, 224, 6), jnp.float32),))
+    step = jax.jit(
+        make_mae_train_step(model, tx, accum=1),
+        in_shardings=(replicated(plan), batch_sharding(plan), replicated(plan), replicated(plan)),
+        out_shardings=(replicated(plan), replicated(plan)),
+        donate_argnums=(0,),
+    )
+    x = {"image": np.random.RandomState(0).randn(batch, 224, 224, 6).astype(np.float32)}
+    db = shard_batch(plan, x)
+    lr = jnp.asarray(1e-4, jnp.float32)
+    for _ in range(args.warmup):
+        state, loss = step(state, db, lr, rng)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, loss = step(state, db, lr, rng)
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+    per_chip = args.steps * batch / dt / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": f"224x224 SAR patches/sec/chip (MAE pretrain step, ViT-L, bf16, batch {batch})",
+                "value": round(per_chip, 2),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="unet", choices=["unet", "snunet", "vit"])
@@ -65,6 +116,8 @@ def main():
     from kurosiwo_tpu.training.steps import make_train_step
 
     n_dev = len(jax.devices())
+    if args.model == "vit":
+        return bench_mae(args, n_dev)
     batch = args.batch or (128 * n_dev)
     cfg = build_config(args.model, batch)
     if args.remat:

@@ -115,6 +115,26 @@ def compute_min_max_stats(records, root_path: str, config: dict, cache_path: str
     if p.exists():
         with open(p, "rb") as f:
             return pickle.load(f)
+    # Guard the cache against the reference's shared-file race (SURVEY.md
+    # §5.2: whichever Dataset instance runs first wins, others may read a
+    # partial file): exclusive-lock a sidecar, re-check, write atomically.
+    import fcntl
+
+    lock_path = p.with_suffix(p.suffix + ".lock")
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        if p.exists():  # another process computed it while we waited
+            with open(p, "rb") as f:
+                return pickle.load(f)
+        stats = _compute_min_max_stats_locked(records, root_path, config)
+        tmp = p.with_suffix(p.suffix + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(stats, f)
+        tmp.replace(p)  # atomic on POSIX
+        return stats
+
+
+def _compute_min_max_stats_locked(records, root_path: str, config: dict) -> dict:
     from .tiles import _imread, list_tile_files
 
     stats: dict = {}
@@ -136,8 +156,6 @@ def compute_min_max_stats(records, root_path: str, config: dict, cache_path: str
                     a[k] = (min(a[k][0], lo), max(a[k][1], hi))
                 else:
                     a[k] = (lo, hi)
-    with open(p, "wb") as f:
-        pickle.dump(stats, f)
     return stats
 
 

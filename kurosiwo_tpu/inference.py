@@ -1,0 +1,164 @@
+"""Inference / serving: run a trained model over tiles or whole scenes.
+
+The reference has no inference story beyond re-running eval over the test
+loader (main.py:146-159). Production-facing additions here:
+
+  * `TilePredictor` — jitted batched forward producing class maps
+    (+ optional probabilities) from normalized inputs;
+  * `predict_scene` — sliding-window inference over an arbitrarily large
+    scene: static-shape window batches (one compile), overlap blending by
+    logit averaging, edge padding; this is how whole Sentinel-1 scenes are
+    mapped without the reference's fixed-224 restriction;
+  * `scene CLI` (`python -m kurosiwo_tpu.inference ...`) — decode VV/VH
+    rasters, normalize with the dataset stats, emit a uint8 class mask
+    GeoTIFF-shaped array + optional colorized PNG.
+
+Checkpoints load from orbax (`CheckpointManager`) or converted torch state
+dicts (`kurosiwo_tpu.convert`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import load_config
+from .data.normalize import normalize
+from .models.factory import initialize_segmentation_model
+
+
+class TilePredictor:
+    """Batched jitted forward for fixed-size tiles."""
+
+    def __init__(self, model, variables: dict, tile: int = 224, batch_size: int = 32):
+        self.model = model
+        self.variables = variables
+        self.tile = tile
+        self.batch_size = batch_size
+        self._fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    def predict_logits(self, tiles: np.ndarray) -> np.ndarray:
+        """(N, T, T, C) -> (N, T, T, num_classes) float32 logits."""
+        n = tiles.shape[0]
+        outs = []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            chunk = tiles[i : i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            logits = np.asarray(self._fwd(self.variables, jnp.asarray(chunk)))
+            outs.append(logits[: bs - pad] if pad else logits)
+        return np.concatenate(outs, axis=0)
+
+    def predict(self, tiles: np.ndarray) -> np.ndarray:
+        return np.argmax(self.predict_logits(tiles), axis=-1).astype(np.uint8)
+
+
+def predict_scene(
+    predictor: TilePredictor,
+    scene: np.ndarray,
+    overlap: int = 32,
+) -> np.ndarray:
+    """Sliding-window class map for an (H, W, C) scene of any size.
+
+    Windows of `tile` with `overlap` stride reduction; overlapping logits are
+    averaged (soft blending suppresses window-border artifacts), then argmax.
+    """
+    t = predictor.tile
+    h, w, c = scene.shape
+    stride = t - overlap
+    ny = max(1, math.ceil(max(h - overlap, 1) / stride))
+    nx = max(1, math.ceil(max(w - overlap, 1) / stride))
+    pad_h = (ny - 1) * stride + t - h
+    pad_w = (nx - 1) * stride + t - w
+    padded = np.pad(scene, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0)), mode="reflect")
+
+    tiles, coords = [], []
+    for iy in range(ny):
+        for ix in range(nx):
+            y0, x0 = iy * stride, ix * stride
+            tiles.append(padded[y0 : y0 + t, x0 : x0 + t])
+            coords.append((y0, x0))
+    logits = predictor.predict_logits(np.stack(tiles))
+
+    nc = logits.shape[-1]
+    acc = np.zeros(padded.shape[:2] + (nc,), np.float32)
+    cnt = np.zeros(padded.shape[:2] + (1,), np.float32)
+    for (y0, x0), lg in zip(coords, logits):
+        acc[y0 : y0 + t, x0 : x0 + t] += lg
+        cnt[y0 : y0 + t, x0 : x0 + t] += 1.0
+    blended = acc / np.maximum(cnt, 1.0)
+    return np.argmax(blended[:h, :w], axis=-1).astype(np.uint8)
+
+
+def load_variables(checkpoint: str, model, config: dict, example_shape) -> dict:
+    """orbax dir, torch .pt (auto-converted), or fresh init for smoke runs."""
+    rng = jax.random.PRNGKey(0)
+    if not checkpoint:
+        return model.init(rng, jnp.zeros(example_shape), train=False)
+    p = Path(checkpoint)
+    if p.suffix in (".pt", ".pth"):
+        from .convert import convert
+
+        return convert(str(p), config.get("method", "snunet"))
+    variables = model.init(rng, jnp.zeros(example_shape), train=False)
+    if p.exists():
+        from .ops import optim
+        from .training.checkpoint import CheckpointManager
+        from .training.state import create_train_state
+
+        tx = optim.create_optimizer(config, config.get("model_config", {}), "segmentation")
+        state, _ = create_train_state(model, tx, rng, (jnp.zeros(example_shape),))
+        mgr = CheckpointManager(p.parent)
+        state, _ = mgr.restore(p.name, state)
+        out = {"params": state.params}
+        if state.batch_stats:
+            out["batch_stats"] = state.batch_stats
+        return out
+    return variables
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Scene inference (flood mapping)")
+    ap.add_argument("--vv", required=True, help="VV backscatter raster (tif)")
+    ap.add_argument("--vh", required=True, help="VH backscatter raster (tif)")
+    ap.add_argument("--checkpoint", default="", help="orbax checkpoint or torch .pt")
+    ap.add_argument("--method", default="unet")
+    ap.add_argument("--out", default="flood_mask.png")
+    ap.add_argument("--overlap", type=int, default=32)
+    ap.add_argument("--config_root", default="configs")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(method=args.method, config_root=args.config_root,
+                      overrides={"inputs": ["post_event"]})
+    from .data.tiles import _imread, stack_channels
+
+    vv, vh = _imread(args.vv), _imread(args.vh)
+    scene = stack_channels(vv, vh, cfg["channels"], cfg.get("clamp_input"))
+    scene = normalize(scene, cfg["data_mean"], cfg["data_std"])
+
+    model = initialize_segmentation_model(cfg, cfg["model_config"])
+    variables = load_variables(args.checkpoint, model, cfg, (1, 224, 224, scene.shape[-1]))
+    predictor = TilePredictor(model, variables)
+    mask = predict_scene(predictor, scene, overlap=args.overlap)
+
+    import cv2
+
+    from .utils.visualize import overlay_mask, sar_to_rgb
+
+    cv2.imwrite(str(Path(args.out).with_suffix(".mask.png")), mask)
+    rgb = overlay_mask(sar_to_rgb(scene), mask)
+    cv2.imwrite(args.out, rgb[..., ::-1])
+    h, w = mask.shape
+    counts = {int(k): int(v) for k, v in zip(*np.unique(mask, return_counts=True))}
+    print(f"scene {h}x{w}; class pixel counts: {counts}; wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,9 +59,14 @@ class MAE(nn.Module):
         masked_indices = rand_indices[:, :num_masked]
         unmasked_indices = rand_indices[:, num_masked:]
 
-        take = lambda t, idx: jnp.take_along_axis(t, idx[..., None], axis=1)
-        kept_tokens = take(tokens, unmasked_indices)
-        masked_patches = take(patches, masked_indices)
+        # token select/scatter as one-hot matmuls: take_along_axis/.at[].set
+        # lower to serial gathers/scatters on TPU; the one-hot contraction is
+        # a small MXU matmul (selection matrices are (k, N) with N=196)
+        masked_sel = jax.nn.one_hot(masked_indices, num_patches, dtype=tokens.dtype)  # (B, M, N)
+        unmasked_sel = jax.nn.one_hot(unmasked_indices, num_patches, dtype=tokens.dtype)  # (B, K, N)
+        take = lambda t, sel: jnp.einsum("bkn,bnd->bkd", sel, t)
+        kept_tokens = take(tokens, unmasked_sel)
+        masked_patches = take(patches.astype(tokens.dtype), masked_sel)
 
         encoded = enc.transformer(kept_tokens)
 
@@ -83,11 +88,10 @@ class MAE(nn.Module):
             + decoder_pos_emb(masked_indices)
         )
 
-        # scatter kept+mask tokens back to their grid positions
-        grid = jnp.zeros((b, num_patches, self.decoder_dim), decoder_tokens_kept.dtype)
-        batch_idx = jnp.arange(b)[:, None]
-        grid = grid.at[batch_idx, unmasked_indices].set(decoder_tokens_kept)
-        grid = grid.at[batch_idx, masked_indices].set(mask_tokens)
+        # scatter back to grid positions via the transposed selections
+        # (each grid slot receives exactly one token, so the sum IS the scatter)
+        grid = jnp.einsum("bkn,bkd->bnd", unmasked_sel.astype(decoder_tokens_kept.dtype), decoder_tokens_kept)
+        grid = grid + jnp.einsum("bkn,bkd->bnd", masked_sel.astype(mask_tokens.dtype), mask_tokens)
 
         decoded = Transformer(
             self.decoder_dim,
@@ -99,7 +103,7 @@ class MAE(nn.Module):
             name="decoder",
         )(grid)
 
-        decoded_masked = take(decoded, masked_indices)
+        decoded_masked = take(decoded, masked_sel.astype(decoded.dtype))
         pred_pixels = nn.Dense(patch_dim, dtype=self.dtype, name="to_pixels")(decoded_masked)
 
         recon_loss = jnp.mean(

@@ -135,6 +135,11 @@ class SwinTransformer(nn.Module):
             dim = embed * (2**s)
             if s > 0:
                 # patch merging: 2x2 neighborhood concat -> LN -> linear /2
+                # (odd feature maps are edge-padded first, like torch Swin's F.pad)
+                if x.shape[1] % 2 or x.shape[2] % 2:
+                    x = jnp.pad(
+                        x, ((0, 0), (0, x.shape[1] % 2), (0, x.shape[2] % 2), (0, 0)), mode="edge"
+                    )
                 x = rearrange(x, "b (h p1) (w p2) c -> b h w (p1 p2 c)", p1=2, p2=2)
                 x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"merge_norm{s}")(x)
                 x = nn.Dense(dim, use_bias=False, dtype=self.dtype, name=f"merge{s}")(x)

@@ -82,9 +82,16 @@ class PSPModule(nn.Module):
         h, w = x.shape[1:3]
         outs = [x]
         for i, b in enumerate(self.bins):
-            # adaptive average pool to (b, b)
-            ph, pw = h // b, w // b
-            pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
+            # adaptive average pool to (b, b): exact window average when the
+            # map divides evenly; bilinear resample otherwise (and bins larger
+            # than the map clamp to a global pool) so small feature maps from
+            # non-224 inputs stay valid
+            bb = min(b, h, w)
+            if h % bb == 0 and w % bb == 0:
+                ph, pw = h // bb, w // bb
+                pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
+            else:
+                pooled = resize_bilinear(x, (bb, bb))
             pooled = ConvBNAct(self.features, 1, padding=0, dtype=self.dtype, name=f"branch{i}")(pooled, train)
             outs.append(resize_bilinear(pooled, (h, w)))
         y = jnp.concatenate(outs, axis=-1)

@@ -193,11 +193,21 @@ def train_task(
     engine = TaskEngine(model, config, model_config, task, steps_per_epoch=len(train_loader), seed=seed)
     ckpt = CheckpointManager(config.get("checkpoint_path", "checkpoints/run"))
 
-    if config.get("resume_checkpoint"):
-        engine.state, _ = ckpt.restore("best_segmentation", engine.state)
-
+    start_epoch = int(config.get("start_epoch", 0))
     best_val = 0.0
-    for epoch in range(int(config.get("start_epoch", 0)), int(config.get("epochs", 1))):
+    if config.get("resume_checkpoint"):
+        # preemption-safe resume: prefer the rolling "latest" checkpoint
+        # (carries epoch + best metric); fall back to best_segmentation
+        # (reference semantics, utilities/utilities.py:300-303)
+        if (ckpt.dir / "latest").exists():
+            engine.state, extra = ckpt.restore("latest", engine.state)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            best_val = float(extra.get("best_val", 0.0))
+            engine.logger.info(f"Resumed from latest checkpoint at epoch {start_epoch}")
+        elif (ckpt.dir / "best_segmentation").exists():
+            engine.state, _ = ckpt.restore("best_segmentation", engine.state)
+
+    for epoch in range(start_epoch, int(config.get("epochs", 1))):
         train_summary = engine.run_train_epoch(train_loader, epoch)
         engine.logger.log_train_epoch(epoch, train_summary)
         if task in ("cd", "recurrent") and config.get("train_save_checkpoint_freq"):
@@ -208,5 +218,6 @@ def train_task(
             best_val = miou
             engine.logger.info(f"Epoch {epoch}: new best validation mIoU {miou:.3f}")
             ckpt.save_best(engine.state, epoch, miou)
+        ckpt.save("latest", engine.state, extra={"epoch": epoch, "best_val": best_val})
     ckpt.wait()
     return engine

@@ -21,10 +21,26 @@ class MetricLogger:
             try:
                 import wandb
 
+                # run-id persistence for resumable runs (reference:
+                # change_detection_trainer.py:22-31 stores id.json)
+                run_id = None
+                ckpt_path = config.get("checkpoint_path")
+                if ckpt_path:
+                    from pathlib import Path
+
+                    id_file = Path(ckpt_path) / "id.json"
+                    if config.get("resume_wandb") and id_file.exists():
+                        run_id = json.loads(id_file.read_text()).get("run_id")
+                    else:
+                        run_id = wandb.util.generate_id()
+                        id_file.parent.mkdir(parents=True, exist_ok=True)
+                        id_file.write_text(json.dumps({"run_id": run_id}))
                 self.wandb = wandb
                 wandb.init(
                     project=config.get("wandb_project"),
                     entity=config.get("wandb_entity"),
+                    id=run_id,
+                    resume="allow",
                     config={k: v for k, v in config.items() if isinstance(v, (int, float, str, bool))},
                 )
             except ImportError:

@@ -72,11 +72,14 @@ def test_transunet_cd_siamese_shares_params(base_config):
 
 
 def test_hfanet(base_config):
+    # HFA-Net's spatial-attention pyramid is geometry-bound to 224-divisible
+    # inputs (the reference hardcodes input_size=224, hfanet.py:616-619):
+    # the deepest stage runs 14 -> 7 -> 3 -> convtranspose(k3,s3) -> 7 -> 14.
     cfg = dict(base_config, task="cd", method="hfa-net", num_channels=2)
     model = initialize_cd_model(cfg, {})
-    x = jnp.asarray(np.random.RandomState(0).randn(B, 64, 64, 2), np.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 224, 224, 2), np.float32)
     out = _run(model, x, x)
-    assert out.shape == (B, 64, 64, NC)
+    assert out.shape == (1, 224, 224, NC)
     np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=5e-4)  # softmax inside
 
 

@@ -1,0 +1,37 @@
+"""Preemption-safe resume: the rolling 'latest' checkpoint restores epoch and
+best-metric state so a killed run continues where it stopped."""
+
+import numpy as np
+import pytest
+
+
+def test_latest_checkpoint_resume(base_config, tmp_path, capsys):
+    from kurosiwo_tpu.data.pipeline import Loader
+    from kurosiwo_tpu.models.factory import initialize_segmentation_model
+    from kurosiwo_tpu.training.engine import train_task
+
+    cfg = dict(
+        base_config,
+        batch_size=8,
+        synthetic_size=16,
+        synthetic_patch_size=64,
+        epochs=1,
+        print_frequency=1000,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    mcfg = {"backbone": "resnet18", "learning_rate": 1e-3, "lr_schedule": None, "optimizer": "adam"}
+    tr, va, te = Loader("train", cfg, 1), Loader("val", cfg, 1), Loader("test", cfg, 1)
+    model = initialize_segmentation_model(cfg, mcfg)
+
+    # epoch 0 runs and writes 'latest'
+    engine1 = train_task(model, tr, va, te, cfg, mcfg, "segmentation")
+    assert (tmp_path / "ckpt" / "latest").exists()
+    step_after_first = int(np.asarray(engine1.state.step))
+
+    # simulate a restart asking for 2 epochs total: epoch 0 must be skipped
+    cfg2 = dict(cfg, epochs=2, resume_checkpoint=True)
+    engine2 = train_task(model, tr, va, te, cfg2, mcfg, "segmentation")
+    out = capsys.readouterr().out
+    assert "Resumed from latest checkpoint at epoch 1" in out
+    # exactly one more epoch of steps ran on top of the restored state
+    assert int(np.asarray(engine2.state.step)) == 2 * step_after_first
