@@ -126,7 +126,13 @@ class TaskEngine:
             )
             nbatches += 1
             if index % int(cfg.get("print_frequency", 10)) == 0:
-                self.logger.log_train_iteration(epoch, index, float(loss), lr_value)
+                # per-iteration metric snapshot from the cumulative device bank
+                # (a 4x4 transfer; the reference recomputes torchmetrics per
+                # batch, segmentation_trainer.py:166-171)
+                from ..ops.metrics import derive
+
+                snap = derive(np.asarray(metric_state.cm))
+                self.logger.log_train_iteration(epoch, index, float(loss), lr_value, snap)
         summary = metric_state.summarize()
         summary["epoch_time_s"] = time.time() - t0
         summary["batches"] = nbatches

@@ -56,8 +56,17 @@ class MetricLogger:
         elif self.on_screen:
             print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in payload.items()}))
 
-    def log_train_iteration(self, epoch: int, index: int, loss: float, lr: float):
-        self._emit({"Epoch": epoch, "Iteration": index, "Train Loss": loss, "lr": lr})
+    def log_train_iteration(self, epoch: int, index: int, loss: float, lr: float, snap: dict | None = None):
+        payload = {"Epoch": epoch, "Iteration": index, "Train Loss": loss, "lr": lr}
+        if snap is not None:
+            for c in range(NUM_CLASSES):
+                payload[f"Train Accuracy ({CLASS_LABELS[c]})"] = 100 * float(snap["accuracy"][c])
+                payload[f"Train F-Score ({CLASS_LABELS[c]})"] = 100 * float(snap["fscore"][c])
+                payload[f"Train Precision ({CLASS_LABELS[c]})"] = 100 * float(snap["precision"][c])
+                payload[f"Train Recall ({CLASS_LABELS[c]})"] = 100 * float(snap["recall"][c])
+                payload[f"Train IoU ({CLASS_LABELS[c]})"] = 100 * float(snap["iou"][c])
+            payload["Train MeanIoU"] = 100 * snap["mean_iou"]
+        self._emit(payload)
 
     def log_train_epoch(self, epoch: int, summary: dict):
         payload = {"Epoch": epoch, "Train MeanIoU": summary["mean_iou"] * 100}
