@@ -76,8 +76,12 @@ class Loader:
             self.negative_records = index.negative_records
             self.stats = None
             if _needs_stats(config):
-                all_acts = list(config["train_acts"]) + list(config["val_acts"]) + list(config["test_acts"])
-                self.stats = compute_min_max_stats(self.records, str(root), config)
+                # the stats corpus spans ALL splits (reference
+                # update_min_max_stats walks train+val+test, Dataset.py:493-520)
+                all_records = []
+                for m in ("train", "val", "test"):
+                    all_records.extend(GridIndex(m, config).records if m != mode else self.records)
+                self.stats = compute_min_max_stats(all_records, str(root), config)
 
         self.oversampling = bool(config.get("oversampling")) and mode == "train"
         self._rng = np.random.default_rng(seed + hash(mode) % 65536)

@@ -20,6 +20,7 @@ dicts (`kurosiwo_tpu.convert`).
 from __future__ import annotations
 
 import argparse
+import functools
 import math
 from pathlib import Path
 
@@ -95,6 +96,88 @@ def predict_scene(
         cnt[y0 : y0 + t, x0 : x0 + t] += 1.0
     blended = acc / np.maximum(cnt, 1.0)
     return np.argmax(blended[:h, :w], axis=-1).astype(np.uint8)
+
+
+def interpolate_pos_embedding(pos: jnp.ndarray, new_grid: tuple[int, int]) -> jnp.ndarray:
+    """Resample a (1, 1+g*g, D) learned position embedding to a new patch
+    grid (bilinear over the spatial grid; cls slot dropped — see
+    vit_whole_scene)."""
+    import math
+
+    grid = pos[:, 1:]
+    g = int(math.isqrt(grid.shape[1]))
+    d = grid.shape[-1]
+    gh, gw = new_grid
+    img = grid.reshape(1, g, g, d)
+    img = jax.image.resize(img, (1, gh, gw, d), method="linear")
+    return img.reshape(1, gh * gw, d)
+
+
+def vit_whole_scene(
+    encoder_params: dict,
+    scene: np.ndarray,
+    patch_size: int = 16,
+    dim: int = 1024,
+    depth: int = 24,
+    heads: int = 16,
+    mlp_dim: int = 2048,
+    dim_head: int = 64,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Encode an ENTIRE scene as one attention sequence (no 224 tiling).
+
+    The reference is architecturally bound to 224x224 patches (196-token
+    attention); here the scene's full patch grid attends globally — the
+    Pallas flash kernel engages automatically for sequences >= 1024 tokens
+    (ops/attention.py), so a 1024x1024 scene is a single 4096-token pass
+    without materializing the (N, N) score matrix.
+
+    Whole-scene mode drops the cls token (its only consumer is the absent
+    classification head; FinetunerSegmentation reads patch tokens) so the
+    sequence length stays 128-aligned for the kernel. The learned position
+    embedding is bilinearly resampled to the scene grid.
+
+    Returns (1, gh*gw, dim) patch features; reshape to (gh, gw, dim) for a
+    dense head.
+    """
+    from .models.vit import Transformer, patchify
+
+    h, w, c = scene.shape
+    ph = -(-h // patch_size) * patch_size
+    pw = -(-w // patch_size) * patch_size
+    padded = np.pad(scene, ((0, ph - h), (0, pw - w), (0, 0)), mode="reflect")
+    gh, gw = ph // patch_size, pw // patch_size
+
+    encode = _scene_encoder(patch_size, dim, depth, heads, mlp_dim, dim_head, dtype, gh, gw)
+    return encode(encoder_params, jnp.asarray(padded[None], dtype))
+
+
+@functools.lru_cache(maxsize=8)
+def _scene_encoder(patch_size, dim, depth, heads, mlp_dim, dim_head, dtype, gh, gw):
+    """Jitted whole-scene encoder, cached per (architecture, grid) so repeat
+    scenes of the same size reuse one compilation."""
+    from .models.vit import Transformer, patchify
+
+    transformer = Transformer(dim, depth, heads, dim_head, mlp_dim, dtype)
+
+    @jax.jit
+    def encode(p, x):
+        patches = patchify(x, patch_size)  # (1, N, p*p*C)
+
+        def ln(name, t):
+            s = p[name]
+            mu = jnp.mean(t, axis=-1, keepdims=True)
+            var = jnp.var(t, axis=-1, keepdims=True)
+            return (t - mu) / jnp.sqrt(var + 1e-6) * s["scale"] + s["bias"]
+
+        tokens = ln("patch_norm1", patches.astype(jnp.float32))
+        tokens = tokens @ p["patch_proj"]["kernel"] + p["patch_proj"]["bias"]
+        tokens = ln("patch_norm2", tokens).astype(dtype)
+        pos = interpolate_pos_embedding(jnp.asarray(p["pos_embedding"]), (gh, gw))
+        tokens = tokens + pos.astype(dtype)
+        return transformer.apply({"params": p["transformer"]}, tokens)
+
+    return encode
 
 
 def load_variables(checkpoint: str, model, config: dict, example_shape) -> dict:

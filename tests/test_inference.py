@@ -60,3 +60,27 @@ def test_real_unet_scene_smoke(base_config):
     mask = predict_scene(pred, scene, overlap=16)
     assert mask.shape == (100, 130)
     assert set(np.unique(mask)) <= {0, 1, 2}
+
+
+def test_vit_whole_scene_features(base_config):
+    import jax
+    import jax.numpy as jnp
+    from kurosiwo_tpu.models.vit import ViT
+    from kurosiwo_tpu.inference import vit_whole_scene
+
+    model = ViT(image_size=64, patch_size=16, dim=32, depth=2, heads=2, mlp_dim=64,
+                channels=2, dim_head=16, pool="cls", dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 2), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(v, x)  # per-patch tokens through the regular model
+    feats = vit_whole_scene(v["params"], np.asarray(x[0]), patch_size=16, dim=32,
+                            depth=2, heads=2, mlp_dim=64, dim_head=16, dtype=jnp.float32)
+    assert feats.shape == ref.shape
+    # cls token dropped -> not identical, but the representations must agree
+    corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(feats).ravel())[0, 1]
+    assert corr > 0.99
+    # ragged scene pads up to the patch grid
+    feats2 = vit_whole_scene(v["params"], np.zeros((70, 90, 2), np.float32),
+                             patch_size=16, dim=32, depth=2, heads=2, mlp_dim=64,
+                             dim_head=16, dtype=jnp.float32)
+    assert feats2.shape == (1, 5 * 6, 32)
