@@ -40,6 +40,29 @@ from .steps import (
 )
 
 
+def device_prefetch(loader, plan: MeshPlan, depth: int = 2):
+    """Iterate device-resident batches, transferring batch k+1 while batch k
+    computes (jax device_put is async; holding `depth` batches in flight
+    overlaps H2D with the step). The reference's pin_memory+workers only
+    overlaps decode, not the transfer."""
+    import collections
+
+    queue: collections.deque = collections.deque()
+    it = iter(loader)
+    try:
+        for _ in range(depth):
+            queue.append(shard_batch(plan, next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(shard_batch(plan, next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def example_inputs_for_task(task: str, config: dict, batch_size: int = 2, size: int = 224):
     """Tiny abstract inputs for model.init, matching the task's assembly."""
     nch = config["num_channels"]
@@ -116,9 +139,8 @@ class TaskEngine:
         self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_value, jnp.float32)
         t0 = time.time()
         nbatches = 0
-        for index, batch in enumerate(loader):
+        for index, device_batch in enumerate(device_prefetch(loader, self.plan)):
             self.rng, step_rng = jax.random.split(self.rng)
-            device_batch = shard_batch(self.plan, batch)
             # fresh lr array per call: the state (incl. opt hyperparams) is
             # donated, so any alias passed alongside it would be invalidated
             self.state, metric_state, loss = self._train_step(
