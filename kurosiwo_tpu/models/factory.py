@@ -69,6 +69,7 @@ def initialize_segmentation_model(config: dict, model_config: dict):
             num_classes=nc,
             head=head,
             finetuning_patch_size=config.get("finetuning_patch_size", 16),
+            image_size=config.get("image_size", 224),
             dtype=dt,
         )
     raise NotImplementedError(f"segmentation method {method!r} is not supported")
@@ -90,7 +91,10 @@ def initialize_cd_model(config: dict, model_config: dict, phase: str = "train"):
     if method == "snunet":
         from .snunet import SNUNetECAM
 
-        return SNUNetECAM(num_classes=nc, base_channel=model_config.get("base_channel", 32), dtype=dt)
+        return SNUNetECAM(
+            num_classes=nc, base_channel=model_config.get("base_channel", 32),
+            remat=bool(config.get("remat")), dtype=dt,
+        )
     if method == "bit-cd":
         from .bit_cd import build_bit_cd
 

@@ -41,9 +41,15 @@ class ConvBlockNested(nn.Module):
         return nn.relu(x + identity)
 
 
+def _block_cls(remat: bool):
+    return nn.remat(ConvBlockNested, static_argnums=(2,)) if remat else ConvBlockNested
+
+
 class SNUNetECAM(nn.Module):
     num_classes: int
     base_channel: int = 32
+    remat: bool = False  # recompute each nested block in bwd: the dense-skip
+    # decoder's live set OOMs a 16GB chip above batch ~48 otherwise
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,6 +57,7 @@ class SNUNetECAM(nn.Module):
         n1 = self.base_channel
         f = [n1, n1 * 2, n1 * 4, n1 * 8, n1 * 16]
         dt = self.dtype
+        ConvBlockNested = _block_cls(self.remat)
 
         conv0_0 = ConvBlockNested(f[0], f[0], dt, name="conv0_0")
         conv1_0 = ConvBlockNested(f[1], f[1], dt, name="conv1_0")

@@ -55,8 +55,10 @@ def attention(
     if use_flash:
         from .pallas_attention import flash_attention
 
+        # block sweep on v5e (N=4096, d=64): (256, 1024) is fastest of the
+        # VMEM-fitting configs (35.8 TF/s vs 29.8 at (256, 512))
         bq = _pick_block(q.shape[-2])
-        bk = _pick_block(k.shape[-2], want=512)
+        bk = _pick_block(k.shape[-2], want=1024)
         return flash_attention(q, k, v, scale, bq, bk)
     acc_dtype = jnp.float32
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_dtype) * scale

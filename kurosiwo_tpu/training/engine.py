@@ -112,8 +112,16 @@ class TaskEngine:
         self._train_step_fn = make_train_step(
             self.model, self.tx, train_criterion, config, model_config, task
         )
+        # eval in f32 like the reference (autocast force-off at eval,
+        # segmentation_trainer.py:321): same f32 params, f32 compute twin.
+        # Disable with f32_eval: false to eval under the bf16 policy.
+        eval_model = self.model
+        if config.get("f32_eval", True) and getattr(self.model, "dtype", None) == jnp.bfloat16:
+            import dataclasses
+
+            eval_model = dataclasses.replace(self.model, dtype=jnp.float32)
         self._eval_step_fn = make_eval_step(
-            self.model, eval_criterion, config, model_config, task, with_aoi=with_aoi
+            eval_model, eval_criterion, config, model_config, task, with_aoi=with_aoi
         )
         self.with_aoi = with_aoi
 

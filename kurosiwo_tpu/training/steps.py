@@ -124,8 +124,11 @@ def make_train_step(
     use_augment = bool(config.get("data_augmentations")) and bool(config.get("augmentations"))
     # rematerialization: recompute activations in the backward pass instead of
     # saving them — unlocks larger batches for the dense-decoder models
-    # (SNUNet at 224^2 OOMs a 16GB v5e above batch ~48 without it)
-    use_remat = bool(config.get("remat"))
+    # (SNUNet at 224^2 OOMs a 16GB v5e above batch ~48 without it).
+    # SNUNet applies remat per nested block inside the model (factory wires
+    # config["remat"] there); the whole-forward wrap would force a full
+    # recompute and negate the block-level savings.
+    use_remat = bool(config.get("remat")) and config.get("method") != "snunet"
 
     def train_step(state: TrainState, batch: dict, metric_state: MetricState, lr, rng):
         if use_augment:

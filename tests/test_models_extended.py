@@ -131,3 +131,17 @@ def test_hfa_high_frequency_factorization():
 
     ours = np.asarray(high_frequency(jnp.asarray(x), mode="filtering", smooth=True))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_finetune_factory_path(base_config):
+    """method=finetune builds FinetunerSegmentation from config keys
+    (model_utilities.py:159-167 equivalent) and runs a dense forward."""
+    from kurosiwo_tpu.models.factory import initialize_segmentation_model
+
+    cfg = dict(base_config, method="finetune", num_channels=6, mlp=True, decoder=False,
+               linear_eval=False, image_size=64, finetuning_patch_size=16,
+               dim=32, depth=1, heads=2, mlp_dim=64)
+    model = initialize_segmentation_model(cfg, {})
+    x = jnp.zeros((1, 64, 64, 6))
+    out = _run(model, x)
+    assert out.shape == (1, 64, 64, NC)
