@@ -160,6 +160,15 @@ def read_dem(path: str, config: dict) -> np.ndarray:
     return dem[..., None]
 
 
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    """uint8 mode (Dataset.py:674-679): scale each raster by its max to
+    [0, 255] and quantize."""
+    m = float(img.max())
+    if m > 0:
+        img = img / m
+    return (img * 255).astype(np.uint8).astype(np.float32)
+
+
 def read_raw_sample(root_path: str, record, config: dict) -> RawSample:
     """Decode every tile of one grid dir into a RawSample (no normalization —
     that runs on device)."""
@@ -168,9 +177,13 @@ def read_raw_sample(root_path: str, record, config: dict) -> RawSample:
     channels = config["channels"]
     clamp = config.get("clamp_input")
 
-    post = stack_channels(_imread(files["post_vv"]), _imread(files["post_vh"]), channels, clamp)
-    pre1 = stack_channels(_imread(files["pre1_vv"]), _imread(files["pre1_vh"]), channels, clamp)
-    pre2 = stack_channels(_imread(files["pre2_vv"]), _imread(files["pre2_vh"]), channels, clamp)
+    def pol(key):
+        img = _imread(files[key])
+        return _to_uint8(img) if config.get("uint8") else img
+
+    post = stack_channels(pol("post_vv"), pol("post_vh"), channels, clamp)
+    pre1 = stack_channels(pol("pre1_vv"), pol("pre1_vh"), channels, clamp)
+    pre2 = stack_channels(pol("pre2_vv"), pol("pre2_vh"), channels, clamp)
     mask = (
         _imread(files["mask"]).astype(np.int32)
         if "mask" in files
