@@ -21,8 +21,6 @@ Differences from the reference (deliberate):
 
 from __future__ import annotations
 
-import dataclasses
-import copy
 import os
 from pathlib import Path
 from typing import Any

@@ -20,7 +20,7 @@ runtime path.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
 

@@ -24,7 +24,7 @@ model output uniformly as logits — identical computation.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ TPU-native conventions used throughout the zoo:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Sequence
 
 import jax

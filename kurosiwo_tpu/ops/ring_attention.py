@@ -26,7 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def ring_attention_p(q, k, v, axis_name: str, scale: float | None = None):

@@ -10,7 +10,6 @@ schedules as functions of the epoch index and wrap them per-step.
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import jax.numpy as jnp

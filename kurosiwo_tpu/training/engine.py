@@ -15,8 +15,6 @@ device and cross the host boundary once per epoch.
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -25,19 +23,13 @@ import numpy as np
 from ..data.pipeline import Loader
 from ..ops import optim
 from ..ops.losses import create_loss
-from ..ops.metrics import CLASS_LABELS, HostAOIMetrics, MetricState
+from ..ops.metrics import HostAOIMetrics, MetricState
 from ..ops.schedules import create_lr_schedule
 from ..parallel.mesh import MeshPlan, batch_sharding, create_mesh, replicated, shard_batch
 from ..utils.logging import MetricLogger
 from .checkpoint import CheckpointManager
 from .state import TrainState, create_train_state
-from .steps import (
-    assemble_cd_inputs,
-    assemble_recurrent_input,
-    assemble_segmentation_input,
-    make_eval_step,
-    make_train_step,
-)
+from .steps import make_eval_step, make_train_step
 
 
 def device_prefetch(loader, plan: MeshPlan, depth: int = 2):

@@ -10,12 +10,11 @@ TPU equivalent by design).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 
 @jax.tree_util.register_dataclass

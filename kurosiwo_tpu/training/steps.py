@@ -19,8 +19,7 @@ torch-DDP analogue.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
