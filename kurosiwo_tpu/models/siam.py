@@ -105,10 +105,13 @@ class SiamUnetConc(nn.Module):
         def fuse(skip_a, skip_b):
             return jnp.concatenate([skip_a, skip_b], axis=-1)
 
-        return _siam_decoder(self, pb, [(a4, b4), (a3, b3), (a2, b2), (a1, b1)], fuse, train)
+        # siam_conc emits SOFTMAX (siam_conc.py:81), unlike siam_diff's
+        # log-softmax — both are consumed as "logits" by the trainer's CE.
+        return _siam_decoder(self, pb, [(a4, b4), (a3, b3), (a2, b2), (a1, b1)], fuse, train,
+                             out_act="softmax")
 
 
-def _siam_decoder(mdl: nn.Module, bottom, skips, fuse, train):
+def _siam_decoder(mdl: nn.Module, bottom, skips, fuse, train, out_act: str = "log_softmax"):
     """Shared decoder skeleton: per stage, 2x upconv (k3/s2/p1/op1) ->
     replication-pad to the skip's shape -> concat fused skip -> conv stack.
     The reference runs the decoder on frame-2's pooled stage-4 output."""
@@ -134,5 +137,9 @@ def _siam_decoder(mdl: nn.Module, bottom, skips, fuse, train):
             else:
                 y = _TConvBNDrop(ch, dt, name=f"dec{4 - idx}_{ci}")(y, train)
     logits = TorchConvTranspose(nc, 3, 1, 1, dtype=dt, name="classifier")(y)
-    # Reference emits LogSoftmax over channels (siam_diff.py:93,173).
-    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # Reference output activations: siam_diff LogSoftmax (siam_diff.py:93),
+    # siam_conc Softmax (siam_conc.py:81) — replicated exactly.
+    logits = logits.astype(jnp.float32)
+    if out_act == "softmax":
+        return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.log_softmax(logits, axis=-1)

@@ -107,3 +107,28 @@ def test_siam_diff_parity(torch):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_siam_conc_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_siam
+    from kurosiwo_tpu.models.siam import SiamUnetConc
+
+    ref_mod = _load_ref_module("models/siam_conc.py", "ref_siam_conc")
+    tm = ref_mod.SiamUnet_conc(input_nbr=2, label_nbr=3).eval()
+
+    x = np.random.RandomState(5).randn(1, 2, 64, 64).astype(np.float32)
+    y = np.random.RandomState(6).randn(1, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_siam({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = SiamUnetConc(num_classes=3, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
