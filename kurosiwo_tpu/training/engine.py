@@ -218,7 +218,17 @@ def train_task(
     """The shared training driver: epochs -> val -> best-mIoU checkpoint.
     Mirrors train_semantic_segmentation / train_change_detection /
     train_recurrent_segmentation control flow."""
-    engine = TaskEngine(model, config, model_config, task, steps_per_epoch=len(train_loader), seed=seed)
+    # ViT-finetune models fix their patch grid at image_size (init must run
+    # the forward at exactly that size); conv models are size-agnostic, so a
+    # small init keeps the tracer cheap
+    if config.get("method") == "finetune":
+        init_size = int(config.get("image_size", 224))
+    else:
+        init_size = min(224, int(config.get("synthetic_patch_size", 224) or 224))
+    engine = TaskEngine(
+        model, config, model_config, task, steps_per_epoch=len(train_loader), seed=seed,
+        init_size=init_size,
+    )
     ckpt = CheckpointManager(config.get("checkpoint_path", "checkpoints/run"))
 
     start_epoch = int(config.get("start_epoch", 0))

@@ -127,3 +127,44 @@ def test_checkpoint_roundtrip(base_config, tmp_path):
     l0 = jax.tree.leaves(state.params)[0]
     r0 = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
+
+
+def test_changeformer_multiscale_train_e2e(base_config, tmp_path):
+    """Deep-supervision training (multi_scale_train) with the weighted
+    multi-head loss (change_detection_trainer.py:138-166 parity)."""
+    from kurosiwo_tpu.data.pipeline import Loader
+    from kurosiwo_tpu.models.factory import initialize_cd_model
+    from kurosiwo_tpu.training.change_detection import train_change_detection
+
+    cfg = _small(
+        base_config, task="cd", method="changeformer",
+        inputs=["pre_event_1", "post_event"], num_channels=2,
+        checkpoint_path=str(tmp_path / "ckpt"), synthetic_size=8,
+    )
+    mcfg = {"embed_dim": 32, "decoder_softmax": False, "learning_rate": 1e-4,
+            "lr_schedule": "linear", "optimizer": "sgd", "momentum": 0.9,
+            "weight_decay": 0.0, "multi_scale_train": True, "multi_scale_infer": True,
+            "multi_pred_weights": [0.5, 0.5, 0.5, 0.8, 1.0]}
+    tr, va, te = Loader("train", cfg, 1), Loader("val", cfg, 1), Loader("test", cfg, 1)
+    model = initialize_cd_model(cfg, mcfg)
+    engine = train_change_detection(model, tr, va, te, cfg, mcfg)
+    assert int(np.asarray(engine.state.step)) == len(tr)
+
+
+def test_finetune_train_e2e(base_config, tmp_path):
+    """FloodViT finetune path through the full engine (ViT encoder + mlp head)."""
+    from kurosiwo_tpu.data.pipeline import Loader
+    from kurosiwo_tpu.models.factory import initialize_segmentation_model
+    from kurosiwo_tpu.training.segmentation import train_semantic_segmentation
+
+    cfg = _small(
+        base_config, method="finetune", num_channels=6, mlp=True, decoder=False,
+        linear_eval=False, image_size=64, finetuning_patch_size=16,
+        dim=32, depth=1, heads=2, mlp_dim=64, synthetic_size=8,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    mcfg = {"learning_rate": 1e-4, "lr_schedule": None, "optimizer": "adam"}
+    tr, va, te = Loader("train", cfg, 1), Loader("val", cfg, 1), Loader("test", cfg, 1)
+    model = initialize_segmentation_model(cfg, mcfg)
+    engine = train_semantic_segmentation(model, tr, va, te, cfg, mcfg)
+    assert int(np.asarray(engine.state.step)) == len(tr)
