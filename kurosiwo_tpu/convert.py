@@ -182,12 +182,71 @@ def convert_siam(sd: dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": bstats}
 
 
+# ---------------------------------------------------------------------------
+# BiT-CD base_resnet18 (reference models/bit_cd.py ResNet <-> models/bit_cd.py)
+# ---------------------------------------------------------------------------
+
+def convert_bit_resnet(sd: dict[str, np.ndarray]) -> dict:
+    """state_dict of bit_cd.ResNet (net_G='base_resnet18', the shipped
+    config) -> BiTResNet variables. Maps the vendored torchvision resnet18
+    names onto ResNetEncoder's auto-named ConvBNAct children."""
+    params: dict = {}
+    bstats: dict = {}
+    rn = ("backbone", "resnet")
+    _convert_conv(params, rn + ("stem", "Conv_0"), sd, "resnet.conv1")
+    _convert_bn(params, bstats, rn + ("stem", "BatchNorm_0"), sd, "resnet.bn1")
+    for s in (1, 2, 3, 4):
+        i = 0
+        while f"resnet.layer{s}.{i}.conv1.weight" in sd:
+            t = f"resnet.layer{s}.{i}"
+            m = rn + (f"layer{s}_{i}",)
+            _convert_conv(params, m + ("ConvBNAct_0", "Conv_0"), sd, f"{t}.conv1")
+            _convert_bn(params, bstats, m + ("ConvBNAct_0", "BatchNorm_0"), sd, f"{t}.bn1")
+            _convert_conv(params, m + ("ConvBNAct_1", "Conv_0"), sd, f"{t}.conv2")
+            _convert_bn(params, bstats, m + ("ConvBNAct_1", "BatchNorm_0"), sd, f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in sd:
+                _convert_conv(params, m + ("ConvBNAct_2", "Conv_0"), sd, f"{t}.downsample.0")
+                _convert_bn(params, bstats, m + ("ConvBNAct_2", "BatchNorm_0"), sd, f"{t}.downsample.1")
+            i += 1
+    _convert_conv(params, ("backbone", "conv_pred"), sd, "conv_pred")
+    _convert_conv(params, ("classifier", "ConvBNAct_0", "Conv_0"), sd, "classifier.0")
+    _convert_bn(params, bstats, ("classifier", "ConvBNAct_0", "BatchNorm_0"), sd, "classifier.1")
+    _convert_conv(params, ("classifier", "Conv_0"), sd, "classifier.3")
+    return {"params": params, "batch_stats": bstats}
+
+
+# ---------------------------------------------------------------------------
+# ConvLSTM (reference models/convlstm.py <-> kurosiwo_tpu/models/convlstm.py)
+# ---------------------------------------------------------------------------
+
+def _convert_gn(params, prefix: tuple, sd, key):
+    _set(params, prefix + ("scale",), sd[f"{key}.weight"])
+    _set(params, prefix + ("bias",), sd[f"{key}.bias"])
+
+
+def convert_convlstm(sd: dict[str, np.ndarray]) -> dict:
+    """state_dict of the reference ConvLSTM -> flax variables. Cell convs are
+    Sequential(conv, GroupNorm) -> {cell}/conv + {cell}/norm; encoder strided
+    convs keep their names; only transconv_3d reaches the output (the
+    reference's transconv_1d/2d are dead compute, see models/convlstm.py)."""
+    params: dict = {}
+    for enc in ("conv_1e", "conv_2e", "conv_3e"):
+        _convert_conv(params, (enc,), sd, enc)
+    for cell in ("clstm_1e", "clstm_2e", "clstm_3e", "clstm_1d", "clstm_2d", "clstm_3d"):
+        _convert_conv(params, (cell, "conv"), sd, f"{cell}.conv.0")
+        _convert_gn(params, (cell, "norm"), sd, f"{cell}.conv.1")
+    _convert_tconv(params, ("transconv_3d",), sd, "transconv_3d")
+    return {"params": params}
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "snunet": convert_snunet,
     "floodvit": convert_floodvit,
     "vit": convert_floodvit,
     "siam-diff": convert_siam,
     "siam-conc": convert_siam,
+    "bit-cd": convert_bit_resnet,
+    "convlstm": convert_convlstm,
 }
 
 

@@ -146,7 +146,8 @@ class BiTBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = ResNetEncoder(
-            self.backbone, dilations=(False, True, True), dtype=self.dtype, name="resnet"
+            self.backbone, dilations=(False, True, True), clamp_basic_dilation=True,
+            dtype=self.dtype, name="resnet",
         )(x, train)
         # feats: [input, stem(/2), layer1(/4), layer2(/8), layer3(/8 dil),
         # layer4(/8 dil)]; resnet_stages_num selects how deep to go.

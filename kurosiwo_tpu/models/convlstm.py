@@ -44,7 +44,7 @@ class CLSTMCell(nn.Module):
         conv = nn.Conv(
             4 * f, (self.filter_size, self.filter_size), padding=pad, dtype=self.dtype, name="conv"
         )
-        norm = nn.GroupNorm(num_groups=4 * f // 32, dtype=self.dtype, name="norm")
+        norm = nn.GroupNorm(num_groups=4 * f // 32, epsilon=1e-5, dtype=self.dtype, name="norm")
 
         if inputs is not None:
             t, b, h, w, _ = inputs.shape

@@ -71,6 +71,10 @@ class ResNetEncoder(nn.Module):
     backbone: str = "resnet18"
     width: int = 64
     dilations: Sequence[bool] = (False, False, False)  # stages 3..5
+    # BiT-CD's vendored torchvision BasicBlock SILENTLY clamps dilation > 1
+    # back to 1 (bit_cd.py:95-97): its "dilated" resnet18 stages are stride-1
+    # NON-dilated convs. Set for checkpoint parity with that trunk.
+    clamp_basic_dilation: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -87,13 +91,16 @@ class ResNetEncoder(nn.Module):
             if stage_idx > 0 and self.dilations[stage_idx - 1]:
                 dilation *= stride
                 stride = 1
+            block_dilation = dilation
+            if self.clamp_basic_dilation and block is BasicBlock and block_dilation > 1:
+                block_dilation = 1
             for i in range(depth):
                 expansion = 4 if block is Bottleneck else 1
                 needs_ds = i == 0 and (stride != 1 or y.shape[-1] != features * expansion)
                 y = block(
                     features,
                     stride=stride if i == 0 else 1,
-                    dilation=dilation,
+                    dilation=block_dilation,
                     downsample=needs_ds,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{i}",

@@ -132,3 +132,51 @@ def test_siam_conc_parity(torch):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_bit_cd_resnet_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_bit_resnet
+    from kurosiwo_tpu.models.bit_cd import BiTResNet
+
+    ref_mod = _load_ref_module("models/bit_cd.py", "ref_bit_cd")
+    tm = ref_mod.ResNet(input_nc=2, output_nc=3, output_sigmoid=False).eval()
+
+    x = np.random.RandomState(7).randn(1, 2, 64, 64).astype(np.float32)
+    y = np.random.RandomState(8).randn(1, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_bit_resnet({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = BiTResNet(num_classes=3, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=3e-4)
+
+
+def test_convlstm_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_convlstm
+    from kurosiwo_tpu.models.convlstm import ConvLSTM
+
+    ref_mod = _load_ref_module("models/convlstm.py", "ref_convlstm")
+    tm = ref_mod.ConvLSTM(in_channels=2, num_classes=3, inp_size=32, device="cpu").eval()
+
+    x = np.random.RandomState(9).randn(2, 3, 2, 32, 32).astype(np.float32)  # (B,T,C,H,W)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_convlstm({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = ConvLSTM(num_classes=3, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"]},
+        jnp.asarray(x.transpose(0, 1, 3, 4, 2)),  # (B,T,H,W,C)
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
