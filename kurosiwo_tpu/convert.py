@@ -216,6 +216,65 @@ def convert_bit_resnet(sd: dict[str, np.ndarray]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# torchvision-style ResNet encoders (pretrained-imagenet path for UNet /
+# UNet++ / DeepLabv3+ — the reference gets these via smp's encoder zoo)
+# ---------------------------------------------------------------------------
+
+def convert_torchvision_resnet(sd: dict[str, np.ndarray], prefix: str = "") -> dict:
+    """torchvision resnet{18,34,50} state dict -> ResNetEncoder variables.
+    `prefix` strips a leading module path (e.g. 'resnet.' for bit_cd)."""
+    params: dict = {}
+    bstats: dict = {}
+    key = lambda k: f"{prefix}{k}"
+    _convert_conv(params, ("stem", "Conv_0"), sd, key("conv1"))
+    _convert_bn(params, bstats, ("stem", "BatchNorm_0"), sd, key("bn1"))
+    for s in (1, 2, 3, 4):
+        i = 0
+        while f"{prefix}layer{s}.{i}.conv1.weight" in sd:
+            t = key(f"layer{s}.{i}")
+            m = (f"layer{s}_{i}",)
+            n_convs = 3 if f"{t}.conv3.weight" in sd else 2  # bottleneck vs basic
+            for ci in range(n_convs):
+                _convert_conv(params, m + (f"ConvBNAct_{ci}", "Conv_0"), sd, f"{t}.conv{ci + 1}")
+                _convert_bn(params, bstats, m + (f"ConvBNAct_{ci}", "BatchNorm_0"), sd, f"{t}.bn{ci + 1}")
+            if f"{t}.downsample.0.weight" in sd:
+                ds = n_convs  # downsample follows the main convs in my naming
+                _convert_conv(params, m + (f"ConvBNAct_{ds}", "Conv_0"), sd, f"{t}.downsample.0")
+                _convert_bn(params, bstats, m + (f"ConvBNAct_{ds}", "BatchNorm_0"), sd, f"{t}.downsample.1")
+            i += 1
+    return {"params": params, "batch_stats": bstats}
+
+
+def graft_encoder(variables: dict, encoder_vars: dict, encoder_name: str = "encoder") -> dict:
+    """Replace the encoder subtree of an initialized model's variables with
+    converted pretrained weights; shapes must match except the stem's input
+    channels (SAR channel counts differ from imagenet's 3 — the stem conv is
+    kept at its random init in that case, like smp's first-conv patching)."""
+    import jax
+
+    out_params = dict(variables["params"])
+    enc = dict(out_params[encoder_name])
+    new_enc_params = encoder_vars["params"]
+    for k, v in new_enc_params.items():
+        if k == "stem":
+            old_kernel = jax.tree.leaves(enc["stem"])[0]
+            new_kernel = v["Conv_0"]["kernel"]
+            if old_kernel.shape != new_kernel.shape:
+                continue  # keep random stem for non-3-channel inputs
+        enc[k] = v
+    out_params[encoder_name] = enc
+    out = dict(variables)
+    out["params"] = out_params
+    bs = dict(variables.get("batch_stats", {}))
+    if encoder_vars.get("batch_stats"):
+        enc_bs = dict(bs.get(encoder_name, {}))
+        enc_bs.update(encoder_vars["batch_stats"])
+        bs[encoder_name] = enc_bs
+        out["batch_stats"] = bs
+    return out
+
+
+# ---------------------------------------------------------------------------
 # ConvLSTM (reference models/convlstm.py <-> kurosiwo_tpu/models/convlstm.py)
 # ---------------------------------------------------------------------------
 

@@ -180,3 +180,49 @@ def test_convlstm_parity(torch):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_torchvision_resnet_encoder_parity(torch):
+    """Plain (non-dilated) resnet18 encoder conversion: features match the
+    vendored torchvision-style resnet (same arch as torchvision weights)."""
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_torchvision_resnet, graft_encoder
+    from kurosiwo_tpu.models.resnet import ResNetEncoder
+
+    ref_mod = _load_ref_module("models/bit_cd.py", "ref_bit_cd_rn")
+    tm = ref_mod.resnet18(3, pretrained=False).eval()
+
+    x = np.random.RandomState(10).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        h = tm.conv1(torch.tensor(x)); h = tm.bn1(h); h = tm.relu(h); h = tm.maxpool(h)
+        f1 = tm.layer1(h); f2 = tm.layer2(f1); f3 = tm.layer3(f2); f4 = tm.layer4(f3)
+        ref_feats = [t.permute(0, 2, 3, 1).numpy() for t in (f1, f2, f3, f4)]
+
+    variables = convert_torchvision_resnet({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    enc = ResNetEncoder("resnet18", dtype=jnp.float32)
+    feats = enc.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    # feats: [input, stem/2, layer1/4, layer2/8, layer3/16, layer4/32]
+    for ours, ref in zip(feats[2:], ref_feats):
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
+
+    # graft into a UNet: encoder params replaced, stem kept (6ch != 3ch)
+    from kurosiwo_tpu.models.unet import UNet
+    import jax
+
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    v0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False)
+    v1 = graft_encoder(v0, variables)
+    k_new = np.asarray(v1["params"]["encoder"]["layer1_0"]["ConvBNAct_0"]["Conv_0"]["kernel"])
+    k_ref = np.asarray(variables["params"]["layer1_0"]["ConvBNAct_0"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(k_new, k_ref)
+    # stem untouched (channel mismatch)
+    np.testing.assert_array_equal(
+        np.asarray(v1["params"]["encoder"]["stem"]["Conv_0"]["kernel"]),
+        np.asarray(v0["params"]["encoder"]["stem"]["Conv_0"]["kernel"]),
+    )
+    out = model.apply(v1, jnp.zeros((1, 64, 64, 6)), train=False)
+    assert out.shape == (1, 64, 64, 3)
