@@ -92,11 +92,15 @@ def derive_num_channels(config: dict) -> int:
     return n
 
 
-def update_config(config: dict, args=None, config_root: str | os.PathLike = "configs") -> dict:
+def update_config(config: dict, args=None, config_root: str | os.PathLike = "configs",
+                  overrides: dict | None = None) -> dict:
     """Merge data/train/augmentation configs and compute derived keys.
 
     `args` may be an argparse.Namespace (or any object) with optional
     attributes inputs/dem/slope, mirroring utilities/utilities.py:350-374.
+    `overrides` (programmatic API) win over every merged file and are applied
+    before the augmentation-file check so keys like data_augmentations take
+    effect.
     """
     config_root = Path(config_root)
     config = dict(config)
@@ -112,6 +116,8 @@ def update_config(config: dict, args=None, config_root: str | os.PathLike = "con
                 config["slope"] = True
 
     config.update(load_json5(config_root / "train" / "train_config.json"))
+    if overrides:
+        config.update(overrides)
 
     if config.get("task") == "self-supervised" or config.get("data_augmentations"):
         config.update(load_json5(config_root / "augmentations" / "augmentation.json"))
@@ -155,10 +161,10 @@ def load_config(
         # apply before update_config so keys that feed derived values
         # (slc, dem, inputs, channels, task) shape the channel math ...
         config.update(overrides)
-    config = update_config(config, args=args, config_root=config_root)
+    config = update_config(config, args=args, config_root=config_root, overrides=overrides)
     if overrides:
-        # ... and again after, so overrides also win over the merged
-        # data/train config files (e.g. batch_size)
+        # ... and after, so overrides also win over merged files (batch_size
+        # etc.); derived channel math recomputed with the final values
         config.update(overrides)
         config["num_channels"] = derive_num_channels(config)
 
