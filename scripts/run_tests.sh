@@ -15,7 +15,7 @@ run tests/test_losses.py tests/test_metrics.py tests/test_pipeline.py \
     tests/test_inference.py tests/test_slc.py
 run tests/test_models.py tests/test_parallel.py tests/test_ring_attention.py
 run tests/test_models_extended.py
-run tests/test_train_e2e.py
+run tests/test_train_e2e.py   # ~9.5 min: 7 end-to-end trainings
 run tests/test_diffusion_and_utils.py
 run tests/test_resume.py
 echo "ALL CHUNKS GREEN"
