@@ -298,6 +298,60 @@ def convert_convlstm(sd: dict[str, np.ndarray]) -> dict:
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# ChangeFormerV6 (reference models/changeformer.py <-> models/changeformer.py)
+# ---------------------------------------------------------------------------
+
+_CF_DEPTHS = (3, 3, 4, 3)
+
+
+def convert_changeformer(sd: dict[str, np.ndarray]) -> dict:
+    """state_dict of ChangeFormerV6 -> flax variables."""
+    params: dict = {}
+    bstats: dict = {}
+    enc = ("Tenc_x2",)
+    for s in range(1, 5):
+        pe = f"Tenc_x2.patch_embed{s}"
+        _convert_conv(params, enc + (f"patch_embed{s}", "proj"), sd, f"{pe}.proj")
+        _convert_ln(params, enc + (f"patch_embed{s}", "norm"), sd, f"{pe}.norm")
+        for i in range(_CF_DEPTHS[s - 1]):
+            tb = f"Tenc_x2.block{s}.{i}"
+            mb = enc + (f"block{s}_{i}",)
+            _convert_ln(params, mb + ("norm1",), sd, f"{tb}.norm1")
+            _convert_dense(params, mb + ("attn", "q"), sd, f"{tb}.attn.q")
+            _convert_dense(params, mb + ("attn", "kv"), sd, f"{tb}.attn.kv")
+            if f"{tb}.attn.sr.weight" in sd:
+                _convert_conv(params, mb + ("attn", "sr"), sd, f"{tb}.attn.sr")
+                _convert_ln(params, mb + ("attn", "norm"), sd, f"{tb}.attn.norm")
+            _convert_dense(params, mb + ("attn", "proj"), sd, f"{tb}.attn.proj")
+            _convert_ln(params, mb + ("norm2",), sd, f"{tb}.norm2")
+            _convert_dense(params, mb + ("mlp", "fc1"), sd, f"{tb}.mlp.fc1")
+            _convert_conv(params, mb + ("mlp", "dwconv"), sd, f"{tb}.mlp.dwconv.dwconv")
+            _convert_dense(params, mb + ("mlp", "fc2"), sd, f"{tb}.mlp.fc2")
+        _convert_ln(params, enc + (f"norm{s}",), sd, f"Tenc_x2.norm{s}")
+    dec = ("TDec_x2",)
+    for s in range(1, 5):
+        _convert_dense(params, dec + (f"linear_c{s}",), sd, f"TDec_x2.linear_c{s}.proj")
+        # conv_diff Sequential(conv, relu, bn, conv, relu) -> indices 0, 2, 3
+        d = f"TDec_x2.diff_c{s}"
+        _convert_conv(params, dec + (f"diff_c{s}", "Conv_0"), sd, f"{d}.0")
+        _convert_bn(params, bstats, dec + (f"diff_c{s}", "BatchNorm_0"), sd, f"{d}.2")
+        _convert_conv(params, dec + (f"diff_c{s}", "Conv_1"), sd, f"{d}.3")
+        m = f"TDec_x2.make_pred_c{s}"
+        _convert_conv(params, dec + (f"make_pred_c{s}", "Conv_0"), sd, f"{m}.0")
+        _convert_bn(params, bstats, dec + (f"make_pred_c{s}", "BatchNorm_0"), sd, f"{m}.2")
+        _convert_conv(params, dec + (f"make_pred_c{s}", "Conv_1"), sd, f"{m}.3")
+    _convert_conv(params, dec + ("linear_fuse",), sd, "TDec_x2.linear_fuse.0")
+    _convert_bn(params, bstats, dec + ("fuse_bn",), sd, "TDec_x2.linear_fuse.1")
+    _convert_tconv(params, dec + ("convd2x",), sd, "TDec_x2.convd2x.conv2d")
+    _convert_tconv(params, dec + ("convd1x",), sd, "TDec_x2.convd1x.conv2d")
+    for name in ("dense_2x", "dense_1x"):
+        _convert_conv(params, dec + (name, "conv1"), sd, f"TDec_x2.{name}.0.conv1.conv2d")
+        _convert_conv(params, dec + (name, "conv2"), sd, f"TDec_x2.{name}.0.conv2.conv2d")
+    _convert_conv(params, dec + ("change_probability",), sd, "TDec_x2.change_probability.conv2d")
+    return {"params": params, "batch_stats": bstats}
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "snunet": convert_snunet,
     "floodvit": convert_floodvit,
@@ -306,6 +360,7 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "siam-conc": convert_siam,
     "bit-cd": convert_bit_resnet,
     "convlstm": convert_convlstm,
+    "changeformer": convert_changeformer,
 }
 
 

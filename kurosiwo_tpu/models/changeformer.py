@@ -60,7 +60,8 @@ class OverlapPatchEmbed(nn.Module):
         )(x)
         h, w = x.shape[1:3]
         x = rearrange(x, "b h w c -> b (h w) c")
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # torch default eps (the 1e-6 partial applies only to block norms)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x, h, w
 
 
@@ -83,7 +84,7 @@ class EfficientAttention(nn.Module):
                 dtype=self.dtype, name="sr",
             )(xs)
             xs = rearrange(xs, "b h w c -> b (h w) c")
-            xs = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(xs)
+            xs = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xs)
         else:
             xs = x
         kv = nn.Dense(self.dim * 2, use_bias=True, dtype=self.dtype, name="kv")(xs)
@@ -139,6 +140,10 @@ class EncoderTransformerV3(nn.Module):
     num_heads: Sequence[int] = (1, 2, 4, 8)
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     mlp_ratios: Sequence[int] = (4, 4, 4, 4)
+    # ChangeFormerV6 passes patch_size=7 to EVERY stage's overlap embed
+    # (changeformer.py:664: EncoderTransformer_v3(..., patch_size=7)), not
+    # the encoder class's 3 default.
+    patch_size: int = 7
     drop_path_rate: float = 0.1
     dtype: Any = jnp.float32
 
@@ -150,7 +155,7 @@ class EncoderTransformerV3(nn.Module):
         outs = []
         cur = 0
         for s in range(4):
-            patch = 7 if s == 0 else 3
+            patch = 7 if s == 0 else self.patch_size
             stride = 4 if s == 0 else 2
             x_tok, h, w = OverlapPatchEmbed(
                 patch, stride, self.embed_dims[s], self.dtype, name=f"patch_embed{s + 1}"
@@ -181,13 +186,15 @@ class ConvDiff(nn.Module):
 
 
 class MakePrediction(nn.Module):
+    """make_prediction (changeformer.py:41-47): the FIRST conv projects to
+    out_channels; BN and the second conv operate at out_channels width."""
+
     out_channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
-        x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(x)
@@ -230,7 +237,9 @@ class DecoderTransformerV3(nn.Module):
             p = MakePrediction(self.num_classes, self.dtype, name=f"make_pred_c{s + 1}")(d, train)
             outputs.append(p)
             ups.append(resize_bilinear(d, c1_size) if d.shape[1:3] != c1_size else d)
-        fused = jnp.concatenate(ups[::-1], axis=-1)  # order (_c4_up, _c3_up, _c2_up, _c1)
+        # ups was appended in s = 3..0 order, which IS the reference's
+        # cat((_c4_up, _c3_up, _c2_up, _c1)) order (changeformer.py:601)
+        fused = jnp.concatenate(ups, axis=-1)
         fused = nn.Conv(ed, (1, 1), dtype=self.dtype, name="linear_fuse")(fused)
         fused = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="fuse_bn"

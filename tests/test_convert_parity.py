@@ -226,3 +226,56 @@ def test_torchvision_resnet_encoder_parity(torch):
     )
     out = model.apply(v1, jnp.zeros((1, 64, 64, 6)), train=False)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_changeformer_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_changeformer
+    from kurosiwo_tpu.models.changeformer import ChangeFormerV6
+
+    # the reference imports timm (absent here) for DropPath/to_2tuple/
+    # trunc_normal_ — stub the three symbols before loading it
+    import types
+    import torch.nn as tnn
+
+    class _DropPath(tnn.Identity):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = _DropPath
+    timm_layers.to_2tuple = lambda t: t if isinstance(t, tuple) else (t, t)
+    timm_layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", timm_models)
+    sys.modules.setdefault("timm.models.layers", timm_layers)
+
+    ref_mod = _load_ref_module("models/changeformer.py", "ref_changeformer")
+    tm = ref_mod.ChangeFormerV6(input_nc=2, output_nc=3, decoder_softmax=False,
+                                embed_dim=64).eval()
+
+    x = np.random.RandomState(11).randn(1, 2, 64, 64).astype(np.float32)
+    y = np.random.RandomState(12).randn(1, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = tm(torch.tensor(x), torch.tensor(y))
+        ref_final = ref_outs[-1].permute(0, 2, 3, 1).numpy()
+
+    variables = convert_changeformer({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = ChangeFormerV6(embed_dim=64, num_classes=3, decoder_softmax=False, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours[-1]), ref_final, atol=5e-4)
+    for o_ref, o_ours in zip(ref_outs[:-1], ours[:-1]):
+        np.testing.assert_allclose(
+            np.asarray(o_ours), o_ref.permute(0, 2, 3, 1).numpy(), atol=5e-4
+        )
