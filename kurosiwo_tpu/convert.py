@@ -299,6 +299,69 @@ def convert_convlstm(sd: dict[str, np.ndarray]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# TransUNet-CD (reference models/transunet_cd.py <-> models/transunet_cd.py)
+# ---------------------------------------------------------------------------
+
+def _convert_convbn_folded(params, bstats, prefix: tuple, sd, conv_key, bn_key):
+    """Conv(+bias) -> BN mapped onto a bias-free ConvBNAct: the conv bias is
+    folded into the BN running mean (BN(x + b) == BN' (x) with
+    mean' = mean - b — exact)."""
+    _set(params, prefix + ("Conv_0", "kernel"), conv_kernel(sd[f"{conv_key}.weight"]))
+    mean = sd[f"{bn_key}.running_mean"]
+    if f"{conv_key}.bias" in sd:
+        mean = mean - sd[f"{conv_key}.bias"]
+    _set(params, prefix + ("BatchNorm_0", "scale"), sd[f"{bn_key}.weight"])
+    _set(params, prefix + ("BatchNorm_0", "bias"), sd[f"{bn_key}.bias"])
+    _set(bstats, prefix + ("BatchNorm_0", "mean"), mean)
+    _set(bstats, prefix + ("BatchNorm_0", "var"), sd[f"{bn_key}.running_var"])
+
+
+def _convert_transunet_encoder(params, bstats, sd, t: str, m: str):
+    _convert_convbn_folded(params, bstats, (m, "conv1"), sd, f"{t}.conv1", f"{t}.norm1")
+    for k in (1, 2, 3):
+        b = f"{t}.encoder{k}"
+        mb = (m, f"encoder{k}")
+        _convert_convbn_folded(params, bstats, mb + ("downsample",), sd, f"{b}.downsample.0", f"{b}.downsample.1")
+        for ci in (1, 2, 3):
+            _convert_convbn_folded(params, bstats, mb + (f"conv{ci}",), sd, f"{b}.conv{ci}", f"{b}.norm{ci}")
+    vt = f"{t}.vit"
+    mv = (m, "vit")
+    _convert_dense(params, mv + ("projection",), sd, f"{vt}.projection")
+    _set(params, mv + ("embedding",), sd[f"{vt}.embedding"])
+    _set(params, mv + ("cls_token",), sd[f"{vt}.cls_token"])
+    i = 0
+    while f"{vt}.transformer.layer_blocks.{i}.layer_norm1.weight" in sd:
+        tb = f"{vt}.transformer.layer_blocks.{i}"
+        mb = mv + (f"block_{i}",)
+        _convert_dense(params, mb + ("qkv",), sd, f"{tb}.multi_head_attention.qkv_layer")
+        _convert_dense(params, mb + ("out_attention",), sd, f"{tb}.multi_head_attention.out_attention")
+        _convert_ln(params, mb + ("norm1",), sd, f"{tb}.layer_norm1")
+        _convert_ln(params, mb + ("norm2",), sd, f"{tb}.layer_norm2")
+        _convert_dense(params, mb + ("fc1",), sd, f"{tb}.mlp.mlp_layers.0")
+        _convert_dense(params, mb + ("fc2",), sd, f"{tb}.mlp.mlp_layers.3")
+        i += 1
+    _convert_convbn_folded(params, bstats, (m, "conv2"), sd, f"{t}.conv2", f"{t}.norm2")
+
+
+def convert_transunet_cd(sd: dict[str, np.ndarray]) -> dict:
+    params: dict = {}
+    bstats: dict = {}
+    siamese = "encoder.conv1.weight" in sd
+    if siamese:
+        _convert_transunet_encoder(params, bstats, sd, "encoder", "encoder")
+    else:
+        _convert_transunet_encoder(params, bstats, sd, "encoder1", "encoder1")
+        _convert_transunet_encoder(params, bstats, sd, "encoder2", "encoder2")
+    for k in (1, 2, 3, 4):
+        d = f"decoder.decoder{k}"
+        mb = (f"decoder{k}",)
+        _convert_convbn_folded(params, bstats, mb + ("conv1",), sd, f"{d}.layer.0", f"{d}.layer.1")
+        _convert_convbn_folded(params, bstats, mb + ("conv2",), sd, f"{d}.layer.3", f"{d}.layer.4")
+    _convert_conv(params, ("head",), sd, "decoder.conv1")
+    return {"params": params, "batch_stats": bstats}
+
+
+# ---------------------------------------------------------------------------
 # ChangeFormerV6 (reference models/changeformer.py <-> models/changeformer.py)
 # ---------------------------------------------------------------------------
 
@@ -361,6 +424,7 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "bit-cd": convert_bit_resnet,
     "convlstm": convert_convlstm,
     "changeformer": convert_changeformer,
+    "transunet-cd": convert_transunet_cd,
 }
 
 

@@ -98,7 +98,9 @@ class EncoderBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        width = self.out_channels // 2
+        # reference width = out_channels * base_width/64 = out_channels
+        # (transunet_cd.py:146) — the bottleneck does NOT narrow
+        width = self.out_channels
         down = ConvBNAct(self.out_channels, 1, self.stride, act=None, padding=0, dtype=self.dtype, name="downsample")(x, train)
         y = ConvBNAct(width, 1, 1, padding=0, dtype=self.dtype, name="conv1")(x, train)
         y = ConvBNAct(width, 3, 2, dtype=self.dtype, name="conv2")(y, train)

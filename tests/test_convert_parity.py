@@ -279,3 +279,34 @@ def test_changeformer_parity(torch):
         np.testing.assert_allclose(
             np.asarray(o_ours), o_ref.permute(0, 2, 3, 1).numpy(), atol=5e-4
         )
+
+
+def test_transunet_cd_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_transunet_cd
+    from kurosiwo_tpu.models.transunet_cd import TransUNetCD
+
+    ref_mod = _load_ref_module("models/transunet_cd.py", "ref_transunet")
+    # out_channels must be 128: the reference hardcodes the 512-ch ViT
+    # bottleneck, so other widths break its own decoder (transunet_cd.py:218)
+    tm = ref_mod.TransUNet_CD(
+        img_dim=64, in_channels=2, out_channels=128, head_num=4, mlp_dim=64,
+        block_num=1, patch_dim=16, class_num=3, siamese=False,
+    ).eval()
+
+    x = np.random.RandomState(13).randn(1, 2, 64, 64).astype(np.float32)
+    y = np.random.RandomState(14).randn(1, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_transunet_cd({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = TransUNetCD(out_channels=128, head_num=4, mlp_dim=64, block_num=1,
+                        patch_dim=16, num_classes=3, siamese=False, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4)
