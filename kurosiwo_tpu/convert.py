@@ -362,6 +362,90 @@ def convert_transunet_cd(sd: dict[str, np.ndarray]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# HFA-Net (reference models/hfanet.py <-> kurosiwo_tpu/models/hfanet.py)
+# ---------------------------------------------------------------------------
+
+def _convert_prelu(params, prefix: tuple, sd, key):
+    _set(params, prefix + ("alpha",), sd[f"{key}.weight"])
+
+
+def _convert_cbp(params, bstats, prefix: tuple, sd, conv_key, bn_key, prelu_key):
+    """ConvBNPReLU: conv(+bias) -> BN -> PReLU."""
+    _set(params, prefix + ("Conv_0", "kernel"), conv_kernel(sd[f"{conv_key}.weight"]))
+    if f"{conv_key}.bias" in sd:
+        _set(params, prefix + ("Conv_0", "bias"), sd[f"{conv_key}.bias"])
+    _convert_bn(params, bstats, prefix + ("BatchNorm_0",), sd, bn_key)
+    _convert_prelu(params, prefix + ("PReLU_0",), sd, prelu_key)
+
+
+def _convert_hfa_sa(params, bstats, prefix: tuple, sd, t: str):
+    """SpatialAttentionStage: mini-UNet -> sigmoid mask."""
+    order = [
+        ("ConvBNPReLU_0", "conv1_1", "bn1_1", "ReLU1_1"),
+        ("ConvBNPReLU_1", "conv1_2", "bn1_2", "ReLU1_2"),
+        ("ConvBNPReLU_2", "conv2_1", "bn2_1", "ReLU2_1"),
+        ("ConvBNPReLU_3", "conv2_2", "bn2_2", "ReLU2_2"),
+        ("ConvBNPReLU_4", "conv_b_1", "bn_b_1", "ReLU_b_1"),
+        ("ConvBNPReLU_5", "conv_b_2", "bn_b_2", "ReLU_b_2"),
+        ("ConvBNPReLU_6", "conv3_1", "bn3_1", "ReLU3_1"),
+        ("ConvBNPReLU_7", "conv3_2", "bn3_2", "ReLU3_2"),
+        ("ConvBNPReLU_8", "conv4_1", "bn4_1", "ReLU4_1"),
+        ("ConvBNPReLU_9", "conv4_2", "bn4_2", "ReLU4_2"),
+        ("ConvBNPReLU_10", "conv5_1", "bn5_1", "ReLU5_1"),
+    ]
+    for mine, ck, bk, pk in order:
+        _convert_cbp(params, bstats, prefix + (mine,), sd, f"{t}.{ck}", f"{t}.{bk}", f"{t}.{pk}")
+    _convert_tconv(params, prefix + ("TorchConvTranspose_0",), sd, f"{t}.convtrans_1")
+    _convert_tconv(params, prefix + ("TorchConvTranspose_1",), sd, f"{t}.convtrans_2")
+    _convert_conv(params, prefix + ("Conv_0",), sd, f"{t}.conv5_2")
+    _convert_bn(params, bstats, prefix + ("BatchNorm_0",), sd, f"{t}.bn5_2")
+
+
+def _convert_hfab(params, bstats, prefix: tuple, sd, t: str):
+    _convert_hfa_sa(params, bstats, prefix + ("sa",), sd, f"{t}.SA")
+    hf = f"{t}.HF"
+    _convert_dense(params, prefix + ("hf", "fc1"), sd, f"{hf}.FC_1")
+    _convert_prelu(params, prefix + ("hf", "PReLU_0"), sd, f"{hf}.ReLU")
+    _convert_dense(params, prefix + ("hf", "fc2"), sd, f"{hf}.FC_2")
+    _convert_conv(params, prefix + ("hf", "fusion"), sd, f"{hf}.Channelfusion")
+
+
+def convert_hfanet(sd: dict[str, np.ndarray]) -> dict:
+    params: dict = {}
+    bstats: dict = {}
+    enc = ("encoder",)
+    _convert_conv(params, enc + ("pre_treat",), sd, "encoder._pre_treat_2")
+    # _layer_i = Sequential(HFAB, Conv, BN, PReLU, HFAB, Conv, BN, PReLU)
+    for i in range(1, 6):
+        t = f"encoder._layer_{i}"
+        m = enc + (f"layer_{i}",)
+        _convert_hfab(params, bstats, m + ("hfab1",), sd, f"{t}.0")
+        _convert_cbp(params, bstats, m + ("conv1",), sd, f"{t}.1", f"{t}.2", f"{t}.3")
+        _convert_hfab(params, bstats, m + ("hfab2",), sd, f"{t}.4")
+        _convert_cbp(params, bstats, m + ("conv2",), sd, f"{t}.5", f"{t}.6", f"{t}.7")
+    for i in range(1, 5):
+        _convert_conv(params, (f"skip_fusion_{i}",), sd, f"skip_connection_feature_fusion_{i}")
+    _convert_conv(params, ("bottom_fusion",), sd, "bottom_feature_fusion")
+    # decoder: _up_sample_i = Sequential(conv1x1, Upsample); _up_layer_i =
+    # Sequential(Conv, BN, PReLU, HFAB, Conv, BN, PReLU, HFAB)
+    for i in range(1, 5):
+        t = f"decoder._up_sample_{i}"
+        m = (f"up_{i}",)
+        _convert_conv(params, m + ("reduce",), sd, f"{t}.0")
+        tl = f"decoder._up_layer_{i}"
+        _convert_cbp(params, bstats, m + ("conv1",), sd, f"{tl}.0", f"{tl}.1", f"{tl}.2")
+        _convert_hfab(params, bstats, m + ("hfab1",), sd, f"{tl}.3")
+        _convert_cbp(params, bstats, m + ("conv2",), sd, f"{tl}.4", f"{tl}.5", f"{tl}.6")
+        _convert_hfab(params, bstats, m + ("hfab2",), sd, f"{tl}.7")
+    # out layer: Sequential(Conv, BN, PReLU, Conv, BN, PReLU, Conv1x1)
+    t = "decoder._out_layer"
+    _convert_cbp(params, bstats, ("out1",), sd, f"{t}.0", f"{t}.1", f"{t}.2")
+    _convert_cbp(params, bstats, ("out2",), sd, f"{t}.3", f"{t}.4", f"{t}.5")
+    _convert_conv(params, ("head",), sd, f"{t}.6")
+    return {"params": params, "batch_stats": bstats}
+
+
+# ---------------------------------------------------------------------------
 # ChangeFormerV6 (reference models/changeformer.py <-> models/changeformer.py)
 # ---------------------------------------------------------------------------
 
@@ -425,6 +509,7 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "convlstm": convert_convlstm,
     "changeformer": convert_changeformer,
     "transunet-cd": convert_transunet_cd,
+    "hfa-net": convert_hfanet,
 }
 
 

@@ -310,3 +310,28 @@ def test_transunet_cd_parity(torch):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4)
+
+
+def test_hfanet_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_hfanet
+    from kurosiwo_tpu.models.hfanet import HFANet
+
+    ref_mod = _load_ref_module("models/hfanet.py", "ref_hfanet")
+    tm = ref_mod.HFANet(input_channel=2, input_size=224, num_classes=3).eval()
+
+    x = np.random.RandomState(15).randn(1, 2, 224, 224).astype(np.float32)
+    y = np.random.RandomState(16).randn(1, 2, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_hfanet({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = HFANet(num_classes=3, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4)
