@@ -15,16 +15,50 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.nn import ConvBNAct, resize_bilinear, resize_nearest, upsample2x, global_avg_pool
+from ..ops.nn import (
+    ConvBNAct,
+    ConvParams,
+    conv_same,
+    resize_bilinear,
+    resize_nearest,
+    upsample2x,
+    global_avg_pool,
+)
+from ..ops.phase import depth_to_space, phase_conv_kernel
 from .resnet import ResNetEncoder
 
 
 class DecoderBlock(nn.Module):
+    """smp decoder block. `phase=True` (skip-less blocks only) runs the whole
+    level in space-to-depth phase space — exact reparameterization that never
+    materializes the 2x-upsampled map (ops/phase.py); output stays in phase
+    space (B, H, W, 4*features).
+
+    `fold_up=True` (blocks with a skip) is the partial version of the same
+    trick: the first conv's kernel is split along Cin into the up-leg and the
+    skip-leg; the up-leg is computed as a folded conv on the low-res map
+    (d2s afterwards) and summed with the direct skip-leg conv — the 2x
+    upsample, the channel concat, and their backwards (segment-sum + split)
+    all disappear. Parameters identical to the standard path."""
+
     features: int
     dtype: Any = jnp.float32
+    phase: bool = False
+    fold_up: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
+        if self.phase:
+            assert skip is None
+            x = ConvBNAct(self.features, 3, dtype=self.dtype, phase="up")(x, train)
+            x = ConvBNAct(self.features, 3, dtype=self.dtype, phase="phase")(x, train)
+            return x
+        if self.fold_up and skip is not None:
+            y = _FoldUpConvBN(self.features, dtype=self.dtype, name="ConvBNAct_0")(
+                x, skip, train
+            )
+            y = ConvBNAct(self.features, 3, dtype=self.dtype, name="ConvBNAct_1")(y, train)
+            return y
         x = upsample2x(x, "nearest")
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
@@ -33,13 +67,47 @@ class DecoderBlock(nn.Module):
         return x
 
 
+class _FoldUpConvBN(nn.Module):
+    """conv3x3(cat(up2_nearest(x), skip)) + BN + ReLU with the up-leg folded
+    to low resolution (exact; see DecoderBlock.fold_up). Param tree matches
+    ConvBNAct (Conv_0/kernel, BatchNorm_0)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        from ..ops.phase import depth_to_space, fold_up2_kernel
+
+        up_c = x.shape[-1]
+        kernel, _ = ConvParams(
+            (3, 3, up_c + skip.shape[-1], self.features), name="Conv_0"
+        )()
+        k_up = fold_up2_kernel(kernel[:, :, :up_c]).astype(self.dtype)
+        k_skip = kernel[:, :, up_c:].astype(self.dtype)
+        z = depth_to_space(conv_same(x.astype(self.dtype), k_up)) + conv_same(
+            skip.astype(self.dtype), k_skip
+        )
+        z = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(z)
+        return nn.relu(z)
+
+
 class UNet(nn.Module):
-    """smp.Unet-equivalent: resnet encoder + 5-step decoder + 3x3 head."""
+    """smp.Unet-equivalent: resnet encoder + 5-step decoder + 3x3 head.
+
+    `phase_finale` (default on, even input sizes only) computes the finest
+    decoder level and the head in phase space and interleaves only the
+    num_classes-channel logits — the single biggest HBM saving in the train
+    step (the 224^2 feature maps and the nearest-up backward disappear).
+    Parameters are identical either way."""
 
     num_classes: int
     backbone: str = "resnet18"
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
+    phase_finale: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,10 +115,27 @@ class UNet(nn.Module):
         # feats: [input, /2, /4, /8, /16, /32]
         y = feats[-1]
         skips = feats[1:-1][::-1] + [None]  # [/16, /8, /4, /2, None]
+        use_phase = self.phase_finale and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         for ch, skip in zip(self.decoder_channels, skips):
-            y = DecoderBlock(ch, dtype=self.dtype)(y, skip, train)
-        logits = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype, name="head")(y)
-        return logits.astype(jnp.float32)
+            y = DecoderBlock(
+                ch,
+                dtype=self.dtype,
+                phase=use_phase and skip is None,
+                fold_up=self.phase_finale,
+            )(y, skip, train)
+        if use_phase:
+            kernel, bias = ConvParams(
+                (3, 3, self.decoder_channels[-1], self.num_classes), use_bias=True, name="head"
+            )()
+            k = phase_conv_kernel(kernel).astype(self.dtype)
+            z = conv_same(y.astype(self.dtype), k) + jnp.tile(bias, 4).astype(self.dtype)
+            logits = depth_to_space(z)
+        else:
+            logits = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype, name="head")(y)
+        # no f32 upcast: the conv output is already bf16-rounded under mixed
+        # precision and the loss upcasts internally — returning bf16 halves
+        # the logits+grad HBM traffic of the train step
+        return logits
 
 
 class UNetPlusPlus(nn.Module):

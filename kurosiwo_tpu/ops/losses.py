@@ -36,6 +36,43 @@ def _valid_mask(labels: jnp.ndarray, ignore_index: int = IGNORE_INDEX) -> jnp.nd
     return (labels != ignore_index).astype(jnp.float32)
 
 
+def _ce_parts(logits, labels, cw):
+    """Shared forward math: per-pixel weight w and weighted NLL pieces (f32)."""
+    num_classes = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)  # ignore rows all-zero
+    picked = jnp.sum(log_probs * one_hot, axis=-1)
+    w = jnp.sum(one_hot * cw, axis=-1)
+    total_w = jnp.maximum(jnp.sum(w), 1e-12)
+    return -jnp.sum(picked * w) / total_w, total_w
+
+
+@jax.custom_vjp
+def _weighted_ce(logits, labels, cw):
+    return _ce_parts(logits, labels, cw)[0]
+
+
+def _weighted_ce_fwd(logits, labels, cw):
+    loss, total_w = _ce_parts(logits, labels, cw)
+    # residuals are the raw inputs — the backward recomputes softmax in one
+    # fused elementwise pass instead of XLA saving the f32 log-prob map
+    return loss, (logits, labels, cw, total_w)
+
+
+def _weighted_ce_bwd(res, g):
+    logits, labels, cw, total_w = res
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    w = jnp.sum(one_hot * cw, axis=-1)
+    d = (g / total_w) * w[..., None] * (probs - one_hot)
+    return d.astype(logits.dtype), None, None
+
+
+_weighted_ce.defvjp(_weighted_ce_fwd, _weighted_ce_bwd)
+
+
 def cross_entropy_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -46,23 +83,19 @@ def cross_entropy_loss(
     torch.nn.CrossEntropyLoss(weight=w, ignore_index=3): the denominator is the
     sum of the weights of the *valid* targets (not the pixel count).
 
-    TPU note: formulated with one-hot multiplies, NOT take_along_axis — on
+    TPU notes: formulated with one-hot multiplies, NOT take_along_axis — on
     TPU the gather lowers to a serial dynamic-slice loop that costs more
     than the model's entire fwd+bwd at 224x224 batch sizes (measured 92ms vs
-    56ms on v5e); the one-hot contraction is a fused VPU elementwise pass.
+    56ms on v5e). Forward/backward are a fused custom_vjp pair: the backward
+    recomputes softmax from the (possibly bf16) logits rather than having XLA
+    materialize and re-read an f32 log-prob map of the whole batch.
     """
     num_classes = logits.shape[-1]
-    logits = logits.astype(jnp.float32)
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)  # ignore rows are all-zero
-    picked = jnp.sum(log_probs * one_hot, axis=-1)
     if class_weights is None:
-        w = jnp.sum(one_hot, axis=-1)  # 1 for valid, 0 for ignored
+        cw = jnp.ones((num_classes,), jnp.float32)
     else:
         cw = jnp.asarray(class_weights, jnp.float32)
-        w = jnp.sum(one_hot * cw, axis=-1)
-    total_w = jnp.maximum(jnp.sum(w), 1e-12)
-    return -jnp.sum(picked * w) / total_w
+    return _weighted_ce(logits, labels, cw)
 
 
 def dice_loss(

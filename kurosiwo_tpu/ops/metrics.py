@@ -43,9 +43,11 @@ def confusion_matrix(
     exact: per-batch entries are far below f32's 2^24 integer limit."""
     preds = predictions.reshape(-1)
     labs = labels.reshape(-1)
-    lab_oh = jax.nn.one_hot(labs, num_classes, dtype=jnp.float32)
-    lab_oh = lab_oh * (labs != ignore_index).astype(jnp.float32)[:, None]
-    pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    # bf16 one-hots: 0/1 exact, contraction accumulates in f32 on the MXU,
+    # halves the HBM traffic of the two one-hot maps
+    lab_oh = jax.nn.one_hot(labs, num_classes, dtype=jnp.bfloat16)
+    lab_oh = lab_oh * (labs != ignore_index).astype(jnp.bfloat16)[:, None]
+    pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.bfloat16)
     cm = jnp.einsum("nc,nd->cd", lab_oh, pred_oh, preferred_element_type=jnp.float32)
     return cm.astype(jnp.int32)
 
@@ -62,9 +64,9 @@ def masked_confusion_matrix(
     b = labels.shape[0]
     labs = labels.reshape(b, -1)
     preds = predictions.reshape(b, -1)
-    keep = ((labs != ignore_index) & sample_mask[:, None]).astype(jnp.float32)
-    lab_oh = jax.nn.one_hot(labs, num_classes, dtype=jnp.float32) * keep[..., None]
-    pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    keep = ((labs != ignore_index) & sample_mask[:, None]).astype(jnp.bfloat16)
+    lab_oh = jax.nn.one_hot(labs, num_classes, dtype=jnp.bfloat16) * keep[..., None]
+    pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.bfloat16)
     cm = jnp.einsum("bnc,bnd->cd", lab_oh, pred_oh, preferred_element_type=jnp.float32)
     return cm.astype(jnp.int32)
 

@@ -17,7 +17,37 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .phase import fold_up2_kernel, phase_batch_unview, phase_batch_view, phase_conv_kernel
+
 Dtype = Any
+
+
+class ConvParams(nn.Module):
+    """Parameter holder mirroring nn.Conv's tree (kernel[, bias]) for convs
+    whose kernel is transformed at trace time (phase-space folds). Named
+    "Conv_0"/"head"/... so checkpoints are interchangeable with the standard
+    nn.Conv path."""
+
+    shape: tuple  # canonical (kh, kw, cin, cout)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def conv_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 SAME conv, NHWC/HWIO."""
+    p = (w.shape[0] - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(p, p), (p, p)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
 
 
 def max_pool(x: jnp.ndarray, window: int = 2, stride: int = 2, padding="VALID") -> jnp.ndarray:
@@ -97,7 +127,17 @@ def replication_pad_to(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndar
 
 
 class ConvBNAct(nn.Module):
-    """Conv -> BatchNorm -> activation, the workhorse block of the CNN zoo."""
+    """Conv -> BatchNorm -> activation, the workhorse block of the CNN zoo.
+
+    `phase` selects the exact phase-space (space-to-depth) fast path used by
+    the high-res decoder tail on TPU (see ops/phase.py):
+      * "up":    input is normal space; computes conv3x3(up2_nearest(x), W)
+                 and returns it in phase space (B, H, W, 4*features);
+      * "phase": input AND output in phase space — a 3x3 conv on the
+                 interleaved full-res image, never materialized.
+    The canonical parameters (kernel (3,3,Cin,features), BatchNorm over the
+    canonical channels) are identical to the standard path, so checkpoints
+    are interchangeable."""
 
     features: int
     kernel: int = 3
@@ -107,9 +147,22 @@ class ConvBNAct(nn.Module):
     act: Callable | None = nn.relu
     dtype: Dtype = jnp.float32
     padding: Any = None  # default: torch-style symmetric int padding
+    phase: str | None = None  # None | "up" | "phase"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.phase is not None:
+            assert (self.kernel, self.stride, self.dilation, self.use_bias) == (3, 1, 1, False)
+            cin = x.shape[-1] if self.phase == "up" else x.shape[-1] // 4
+            kernel, _ = ConvParams((3, 3, cin, self.features), name="Conv_0")()
+            fold = fold_up2_kernel if self.phase == "up" else phase_conv_kernel
+            z = conv_same(x.astype(self.dtype), fold(kernel).astype(self.dtype))
+            z = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+            )(phase_batch_view(z))
+            if self.act is not None:
+                z = self.act(z)
+            return phase_batch_unview(z)
         pad = self.padding if self.padding is not None else self.dilation * (self.kernel // 2)
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]

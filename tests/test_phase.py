@@ -1,0 +1,79 @@
+"""Phase-space (space-to-depth) decoder transforms: exactness tests.
+
+The phase finale is a pure reparameterization — same parameters, same math —
+so outputs and BatchNorm batch statistics must match the standard path to
+float tolerance (ops/phase.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from kurosiwo_tpu.models.unet import UNet
+from kurosiwo_tpu.ops.phase import (
+    depth_to_space,
+    fold_up2_kernel,
+    phase_conv_kernel,
+    space_to_depth,
+    space_to_depth_mask,
+)
+
+
+def _conv(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def test_fold_up2_kernel_exact():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 10, 5).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 5, 7).astype(np.float32))
+    up = jnp.broadcast_to(x[:, :, None, :, None, :], (2, 8, 2, 10, 2, 5)).reshape(2, 16, 20, 5)
+    ref = _conv(up, w)
+    got = depth_to_space(_conv(x, fold_up2_kernel(w)))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_phase_conv_kernel_exact():
+    rs = np.random.RandomState(1)
+    big = jnp.asarray(rs.randn(2, 16, 20, 5).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 5, 7).astype(np.float32))
+    ref = _conv(big, w)
+    got = depth_to_space(_conv(space_to_depth(big), phase_conv_kernel(w)))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_s2d_mask_roundtrip():
+    rs = np.random.RandomState(2)
+    m = jnp.asarray(rs.randint(0, 4, (2, 16, 20)))
+    ms = space_to_depth_mask(m)
+    assert ms.shape == (2, 8, 10, 4)
+    # interleave back: out[2i+a, 2j+b] == ms[i, j, 2a+b]
+    back = ms.reshape(2, 8, 10, 2, 2).transpose(0, 1, 3, 2, 4).reshape(2, 16, 20)
+    assert (back == m).all()
+
+
+def test_unet_phase_finale_matches_standard():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 6).astype(np.float32))
+    fast = UNet(num_classes=3, backbone="resnet18", phase_finale=True)
+    slow = UNet(num_classes=3, backbone="resnet18", phase_finale=False)
+    variables = fast.init(rng, x, train=False)
+    # identical param trees by construction
+    chex_equal = jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        slow.init(rng, x, train=False)
+    )
+    assert chex_equal
+
+    out_fast = fast.apply(variables, x, train=False)
+    out_slow = slow.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_slow), atol=2e-4)
+
+    # train mode: outputs and mutated batch stats must agree
+    yf, mf = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+    ys, ms = slow.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys), atol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4), mf, ms
+    )
