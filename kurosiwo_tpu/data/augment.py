@@ -172,6 +172,119 @@ def multiplicative_noise(key, images: list, p: float, limits=(0.9, 1.1)):
     return out
 
 
+def _affine_from_points(pts1, pts2):
+    """Per-sample 2x3 affine M with M @ [x, y, 1] = (x', y') mapping pts1 ->
+    pts2 (cv2.getAffineTransform semantics). pts*: (B, 3, 2) as (x, y)."""
+    ones = jnp.ones(pts1.shape[:-1] + (1,), pts1.dtype)
+    src = jnp.concatenate([pts1, ones], axis=-1)  # (B, 3, 3): rows [x, y, 1]
+    # solve src @ M^T = pts2  ->  M^T = src^{-1} @ pts2
+    mt = jnp.linalg.solve(src, pts2)  # (B, 3, 2)
+    return jnp.swapaxes(mt, -1, -2)  # (B, 2, 3)
+
+
+def _invert_affine(m):
+    """Invert a (B, 2, 3) affine (cv2.invertAffineTransform)."""
+    a, t = m[:, :, :2], m[:, :, 2:]
+    ai = jnp.linalg.inv(a)
+    return jnp.concatenate([ai, -ai @ t], axis=-1)
+
+
+def _blur2d(field, sigma, ksize: int):
+    """Separable Gaussian blur of (B, H, W) with per-sample sigma and a static
+    (ksize, ksize) kernel — cv2.GaussianBlur semantics (reflect101 border)."""
+    radius = ksize // 2
+    offsets = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * (offsets[None, :] / sigma[:, None]) ** 2)
+    kern = kern / jnp.sum(kern, axis=1, keepdims=True)  # (B, K)
+
+    def blur_axis(x, axis):
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (radius, radius)
+        padded = jnp.pad(x, pads, mode="reflect")
+        stack = jnp.stack(
+            [jax.lax.slice_in_dim(padded, i, i + x.shape[axis], axis=axis) for i in range(ksize)],
+            axis=-1,
+        )
+        w = kern.reshape((x.shape[0],) + (1,) * (x.ndim - 1) + (ksize,))
+        return jnp.sum(stack * w, axis=-1)
+
+    return blur_axis(blur_axis(field, 1), 2)
+
+
+def elastic_transform(
+    key,
+    images: list,
+    masks: list,
+    p: float,
+    alpha: float = 1.0,
+    sigma: float = 50.0,
+    alpha_affine: float = 50.0,
+    same_dxdy: bool = False,
+    approximate: bool = True,
+):
+    """albumentations ElasticTransform semantics on-device
+    (reference factory: /root/reference/utilities/augmentations.py:22-34):
+    random 3-point affine (offsets U(-alpha_affine, alpha_affine) on a
+    centered square) composed with a Gaussian-smoothed U(-1,1) displacement
+    field scaled by alpha; border reflect101 (border_mode=4); bilinear for
+    images, nearest for masks.
+
+    TPU note: the two sequential cv2 warps (warpAffine then remap) are
+    composed into ONE sampling map, so each pixel is resampled once. The
+    arbitrary 2-D warp is a genuine gather (not expressible as separable
+    matmuls); this is the one augmentation that pays the TPU gather cost —
+    fine at p=0 (the shipped default) and acceptable when opted in.
+    """
+    b, h, w = images[0].shape[:3]
+    k_apply, k_aff, k_dx, k_dy = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(k_apply, p, (b,))
+
+    # affine: centered square (cv2 point order), offsets in pixels
+    cy, cx = h // 2, w // 2
+    ss = min(h, w) // 3
+    pts1 = jnp.asarray(
+        [[cx + ss, cy + ss], [cx + ss, cy - ss], [cx - ss, cy - ss]], jnp.float32
+    )[None].repeat(b, axis=0)
+    pts2 = pts1 + jax.random.uniform(
+        k_aff, (b, 3, 2), minval=-alpha_affine, maxval=alpha_affine
+    )
+    m_inv = _invert_affine(_affine_from_points(pts1, pts2))  # dst -> src
+
+    # smoothed displacement (approximate mode uses cv2's fixed 17x17 kernel;
+    # exact mode sizes the kernel for the sigma)
+    ksize = 17 if approximate else 2 * int(4 * float(sigma) + 0.5) + 1
+    sig = jnp.full((b,), float(sigma), jnp.float32)
+    dx = _blur2d(jax.random.uniform(k_dx, (b, h, w), minval=-1.0, maxval=1.0), sig, ksize) * alpha
+    dy = dx if same_dxdy else (
+        _blur2d(jax.random.uniform(k_dy, (b, h, w), minval=-1.0, maxval=1.0), sig, ksize) * alpha
+    )
+
+    # composed map: out(y, x) = src(M^{-1}(x + dx, y + dy))
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + dx
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + dy
+    src_x = m_inv[:, 0, 0, None, None] * xs + m_inv[:, 0, 1, None, None] * ys + m_inv[:, 0, 2, None, None]
+    src_y = m_inv[:, 1, 0, None, None] * xs + m_inv[:, 1, 1, None, None] * ys + m_inv[:, 1, 2, None, None]
+
+    from jax.scipy.ndimage import map_coordinates
+
+    def warp_image(img, sy, sx):  # (H, W, C) single sample
+        def chan(c):
+            return map_coordinates(c, [sy, sx], order=1, mode="mirror")
+        return jnp.stack([chan(img[..., i]) for i in range(img.shape[-1])], axis=-1)
+
+    def warp_mask(msk, sy, sx):
+        return map_coordinates(msk, [sy, sx], order=0, mode="mirror")
+
+    sel_img = apply[:, None, None, None]
+    sel_mask = apply[:, None, None]
+    images = [
+        jnp.where(sel_img, jax.vmap(warp_image)(img.astype(jnp.float32), src_y, src_x).astype(img.dtype), img)
+        for img in images
+    ]
+    masks = [jnp.where(sel_mask, jax.vmap(warp_mask)(m, src_y, src_x), m) for m in masks]
+    return images, masks
+
+
 def cutout(key, images: list, masks: list, p: float, num_holes: int = 8, size: int = 8):
     b, h, w = images[0].shape[:3]
     k1, k2, k3 = jax.random.split(key, 3)
@@ -189,14 +302,39 @@ def cutout(key, images: list, masks: list, p: float, num_holes: int = 8, size: i
     return images, masks
 
 
+_SUPPORTED_AUGMENTATIONS = {
+    "RandomResizedCrop",
+    "HorizontalFlip",
+    "VerticalFlip",
+    "GaussianBlur",
+    "ElasticTransform",
+    "Cutout",
+    "GaussianNoise",  # reference factory's key for A.GaussNoise
+    "GaussNoise",
+    "MultNoise",
+}
+
+
 def augment_batch(key, batch: dict, config: dict) -> dict:
     """Apply the configured augmentation pipeline to a batch dict (paired
     across post/pre1/pre2 + mask/valid), replicating get_augmentations'
     composition order. Samples whose augmented valid mask is empty keep
-    their originals (Dataset.py:797-803)."""
+    their originals (Dataset.py:797-803).
+
+    Unsupported keys configured with p>0 raise — the reference factory
+    silently appends the PREVIOUS transform for unknown keys like ColorJitter
+    (utilities/augmentations.py:4-42 has no else branch), which is a latent
+    bug we refuse to replicate. ColorJitter in particular is undefined on
+    2-channel SAR data (hue/saturation need 3 channels)."""
     aug = config.get("augmentations")
     if not aug:
         return batch
+    for name, spec in aug.items():
+        if name not in _SUPPORTED_AUGMENTATIONS and isinstance(spec, dict) and spec.get("p", 0) > 0:
+            raise ValueError(
+                f"augmentation {name!r} is configured with p={spec['p']} but is not "
+                f"supported (supported: {sorted(_SUPPORTED_AUGMENTATIONS)})"
+            )
     image_keys = [k for k in ("post", "pre1", "pre2", "dem") if k in batch]
     mask_keys = [k for k in ("mask", "valid") if k in batch]
     images = [batch[k] for k in image_keys]
@@ -217,7 +355,16 @@ def augment_batch(key, batch: dict, config: dict) -> dict:
         keys[2], images, masks,
         aug.get("HorizontalFlip", {}).get("p", 0.0), aug.get("VerticalFlip", {}).get("p", 0.0),
     )
-    gn = aug.get("GaussNoise", {})
+    et = aug.get("ElasticTransform", {})
+    if et.get("p", 0) > 0:
+        images, masks = elastic_transform(
+            keys[6], images, masks, et["p"],
+            alpha=float(et.get("alpha", 1.0)), sigma=float(et.get("sigma", 50)),
+            alpha_affine=float(et.get("alpha_affine", 50)),
+            same_dxdy=bool(et.get("same_dxdy", False)),
+            approximate=bool(et.get("approximate", True)),
+        )
+    gn = aug.get("GaussianNoise", aug.get("GaussNoise", {}))
     if gn.get("p", 0) > 0:
         images = gauss_noise(keys[3], images, gn["p"])
     mn = aug.get("MultNoise", {})

@@ -16,6 +16,7 @@ per-iteration schedules (MAE) both work without re-jitting.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 
@@ -62,6 +63,22 @@ def create_optimizer(config: dict, model_config: dict, task: str = "segmentation
 
 
 def set_learning_rate(opt_state, lr):
-    """Update the injected learning rate in-place in the optimizer state pytree."""
+    """Update the injected learning rate in-place in the optimizer state pytree
+    (host-side use, e.g. after restoring a checkpoint)."""
     opt_state.hyperparams["learning_rate"] = lr
     return opt_state
+
+
+def inject_lr(opt_state, lr):
+    """Device-side learning-rate injection for use INSIDE a jitted train step.
+
+    The train steps take `lr` as a plain argument and route it into the
+    optax.inject_hyperparams state here, so the schedule changes the rate
+    without re-jitting and without host-mutating a donated state pytree.
+    Returns a new opt_state pytree; the input is untouched.
+    """
+    if not hasattr(opt_state, "hyperparams"):
+        return opt_state
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)

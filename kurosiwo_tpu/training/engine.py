@@ -135,14 +135,13 @@ class TaskEngine:
     def run_train_epoch(self, loader: Loader, epoch: int) -> dict:
         cfg = self.config
         metric_state = MetricState.create()
+        # epoch-level schedule (torch lr_scheduler.step() analogue); the step
+        # consumes the lr argument on-device via optim.inject_lr
         lr_value = float(self.lr_schedule(epoch))
-        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_value, jnp.float32)
         t0 = time.time()
         nbatches = 0
         for index, device_batch in enumerate(device_prefetch(loader, self.plan)):
             self.rng, step_rng = jax.random.split(self.rng)
-            # fresh lr array per call: the state (incl. opt hyperparams) is
-            # donated, so any alias passed alongside it would be invalidated
             self.state, metric_state, loss = self._train_step(
                 self.state, device_batch, metric_state, jnp.asarray(lr_value, jnp.float32), step_rng
             )

@@ -49,7 +49,7 @@ def make_mae_train_step(model, tx, accum: int):
             scan_body, (zero_grads, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
         )
         grads = jax.tree.map(lambda g: g / accum, grads)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates, new_opt = tx.update(grads, optim.inject_lr(state.opt_state, lr), state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         return (
             TrainState(step=state.step + 1, params=new_params, batch_stats=state.batch_stats, opt_state=new_opt),
@@ -96,9 +96,8 @@ def train(configs: dict, seed: int = 999, model_configs: dict | None = None, max
         t_data = time.time()
         for idx, batch in enumerate(loader):
             data_time += time.time() - t_data
+            # per-iteration schedule; the step consumes lr via optim.inject_lr
             lr_value = float(schedule(idx / steps_per_epoch + epoch))
-            # distinct arrays: state is donated, so no aliasing with the lr arg
-            state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_value, jnp.float32)
             rng, step_rng = jax.random.split(rng)
             state, loss = step_fn(state, shard_batch(plan, batch), jnp.asarray(lr_value, jnp.float32), step_rng)
             total_steps += 1

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.metrics import MetricState, per_sample_confusion
+from ..ops.optim import inject_lr
 from .state import TrainState
 
 
@@ -163,7 +164,8 @@ def make_train_step(
             return loss, (logits, new_bs)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        opt_state = inject_lr(state.opt_state, lr)
+        updates, new_opt = tx.update(grads, opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
         bsz = jnp.asarray(mask.shape[0], jnp.float32)

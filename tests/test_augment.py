@@ -100,3 +100,118 @@ def test_discard_if_empty_keeps_original():
     out = augment_batch(jax.random.PRNGKey(0), b, cfg)
     # every sample's valid mask is empty -> originals preserved
     np.testing.assert_array_equal(np.asarray(out["mask"]), np.asarray(b["mask"]))
+
+
+def test_elastic_identity_when_zero_magnitude():
+    from kurosiwo_tpu.data.augment import elastic_transform
+
+    b = _batch()
+    imgs, masks = elastic_transform(
+        jax.random.PRNGKey(0), [b["post"]], [b["mask"]], p=1.0,
+        alpha=0.0, sigma=50.0, alpha_affine=0.0,
+    )
+    # zero displacement + identity affine -> exact passthrough
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(b["post"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(masks[0]), np.asarray(b["mask"]))
+
+
+def test_elastic_affine_matches_cv2_oracle():
+    """Pure-affine case (alpha=0): our composed warp must equal
+    cv2.warpAffine with the SAME matrix, bilinear + reflect101 — the exact
+    cv2 call albumentations' ElasticTransform makes."""
+    import cv2
+
+    from kurosiwo_tpu.data.augment import _affine_from_points
+
+    rs = np.random.RandomState(3)
+    h = w = 64
+    img = rs.rand(h, w).astype(np.float32)
+    cy, cx = h // 2, w // 2
+    ss = min(h, w) // 3
+    pts1 = np.float32([[cx + ss, cy + ss], [cx + ss, cy - ss], [cx - ss, cy - ss]])
+    pts2 = (pts1 + rs.uniform(-8, 8, pts1.shape)).astype(np.float32)
+
+    m_ours = np.asarray(_affine_from_points(jnp.asarray(pts1)[None], jnp.asarray(pts2)[None]))[0]
+    m_cv = cv2.getAffineTransform(pts1, pts2)
+    np.testing.assert_allclose(m_ours, m_cv, rtol=1e-4, atol=1e-4)
+
+    want = cv2.warpAffine(
+        img, m_cv, (w, h), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT_101
+    )
+    # our sampling of the same inverse map
+    from jax.scipy.ndimage import map_coordinates
+
+    minv = cv2.invertAffineTransform(m_cv)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    sx = minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]
+    sy = minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]
+    got = np.asarray(map_coordinates(jnp.asarray(img), [jnp.asarray(sy), jnp.asarray(sx)], order=1, mode="mirror"))
+    # interiors match to fp tolerance (cv2 fixed-point remap quantizes to 1/32)
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_elastic_warp_matches_scipy_oracle():
+    """Full elastic (displacement + affine): against scipy.ndimage
+    map_coordinates with the identical composed source map."""
+    import scipy.ndimage as ndi
+
+    from kurosiwo_tpu.data import augment as A
+
+    b, h, w, c = 2, 48, 48, 2
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(b, h, w, c), jnp.float32)
+    msk = jnp.asarray(rs.randint(0, 4, (b, h, w)), jnp.int32)
+    key = jax.random.PRNGKey(7)
+    imgs, masks = A.elastic_transform(
+        key, [img], [msk], p=1.0, alpha=30.0, sigma=4.0, alpha_affine=6.0,
+        same_dxdy=False, approximate=True,
+    )
+
+    # reproduce the internal maps with the same key-split structure
+    k_apply, k_aff, k_dx, k_dy = jax.random.split(key, 4)
+    cy, cx = h // 2, w // 2
+    ss = min(h, w) // 3
+    pts1 = jnp.asarray([[cx + ss, cy + ss], [cx + ss, cy - ss], [cx - ss, cy - ss]], jnp.float32)[None].repeat(b, 0)
+    pts2 = pts1 + jax.random.uniform(k_aff, (b, 3, 2), minval=-6.0, maxval=6.0)
+    m_inv = np.asarray(A._invert_affine(A._affine_from_points(pts1, pts2)))
+    sig = jnp.full((b,), 4.0, jnp.float32)
+    dx = np.asarray(A._blur2d(jax.random.uniform(k_dx, (b, h, w), minval=-1.0, maxval=1.0), sig, 17)) * 30.0
+    dy = np.asarray(A._blur2d(jax.random.uniform(k_dy, (b, h, w), minval=-1.0, maxval=1.0), sig, 17)) * 30.0
+
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    for i in range(b):
+        mx = xs + dx[i]
+        my = ys + dy[i]
+        sx = m_inv[i, 0, 0] * mx + m_inv[i, 0, 1] * my + m_inv[i, 0, 2]
+        sy = m_inv[i, 1, 0] * mx + m_inv[i, 1, 1] * my + m_inv[i, 1, 2]
+        for ch in range(c):
+            want = ndi.map_coordinates(np.asarray(img[i, ..., ch]), [sy, sx], order=1, mode="mirror")
+            np.testing.assert_allclose(np.asarray(imgs[0][i, ..., ch]), want, atol=1e-4)
+        want_m = ndi.map_coordinates(np.asarray(msk[i]), [sy, sx], order=0, mode="mirror")
+        np.testing.assert_array_equal(np.asarray(masks[0][i]), want_m)
+    # masks keep label alphabet (nearest)
+    assert set(np.unique(masks[0])) <= set(np.unique(msk))
+
+
+def test_unsupported_augmentation_raises():
+    b = _batch()
+    cfg = {
+        "data_augmentations": True,
+        "augmentations": {"ColorJitter": {"brightness": 0.2, "p": 0.5}},
+    }
+    with pytest.raises(ValueError, match="ColorJitter"):
+        augment_batch(jax.random.PRNGKey(0), b, cfg)
+    # p=0 (the shipped default) passes through silently
+    cfg["augmentations"]["ColorJitter"]["p"] = 0.0
+    out = augment_batch(jax.random.PRNGKey(0), b, cfg)
+    np.testing.assert_array_equal(np.asarray(out["post"]), np.asarray(b["post"]))
+
+
+def test_gaussian_noise_reference_key():
+    """The reference factory maps config key 'GaussianNoise' -> A.GaussNoise
+    (utilities/augmentations.py:37-38); both spellings must work."""
+    b = _batch()
+    for keyname in ("GaussianNoise", "GaussNoise"):
+        cfg = {"data_augmentations": True, "augmentations": {keyname: {"p": 1.0}}}
+        out = augment_batch(jax.random.PRNGKey(0), b, cfg)
+        assert not np.array_equal(np.asarray(out["post"]), np.asarray(b["post"])), keyname

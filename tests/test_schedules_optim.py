@@ -86,3 +86,29 @@ def test_step_decay():
     assert float(s(0)) == pytest.approx(1.0)
     assert float(s(3)) == pytest.approx(0.1)
     assert float(s(6)) == pytest.approx(0.01)
+
+
+def test_inject_lr_drives_update_inside_jit():
+    """The train step's lr ARGUMENT must drive the update (VERDICT r1 #9):
+    same state, different lr -> proportionally different SGD deltas, with no
+    host mutation of the (donated) opt_state."""
+    import jax
+
+    cfg = {"method": "unet"}
+    tx = optim.create_optimizer(cfg, {"learning_rate": 1e-3}, task="segmentation")
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.full((4,), 2.0)}
+
+    @jax.jit
+    def step(opt_state, lr):
+        updates, _ = tx.update(grads, optim.inject_lr(opt_state, lr), params)
+        return updates
+
+    u1 = step(opt_state, jnp.asarray(1e-3, jnp.float32))
+    u2 = step(opt_state, jnp.asarray(2e-3, jnp.float32))
+    # adam normalizes by |g| so the update magnitude equals lr on step 1
+    np.testing.assert_allclose(np.asarray(u1["w"]), -1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(u2["w"]), -2e-3, rtol=1e-4)
+    # the input state is untouched (inject_lr is functional)
+    assert float(opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-3)
