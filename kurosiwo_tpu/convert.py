@@ -499,6 +499,243 @@ def convert_changeformer(sd: dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": bstats}
 
 
+# ---------------------------------------------------------------------------
+# BiT transformer variants (reference models/bit_cd.py:802-934 BASE_Transformer
+# <-> models/bit_cd.py BiTTransformer). Extends convert_bit_resnet (trunk +
+# conv_pred + classifier share names) with tokenizer/encoder/decoder weights.
+# ---------------------------------------------------------------------------
+
+def convert_bit_transformer(sd: dict[str, np.ndarray]) -> dict:
+    variables = convert_bit_resnet(sd)
+    params, bstats = variables["params"], variables["batch_stats"]
+    _set(params, ("pos_embedding",), sd["pos_embedding"])
+    _convert_conv(params, ("conv_a",), sd, "conv_a")
+    # token transformer encoder: layers.{i}.0 = PreNorm(Attention),
+    # layers.{i}.1 = PreNorm(FeedForward with net.0 / net.3 Linears)
+    i = 0
+    while f"transformer.layers.{i}.0.fn.norm.weight" in sd:
+        t = f"transformer.layers.{i}"
+        p = ("transformer",)
+        _convert_ln(params, p + (f"norm_attn_{i}",), sd, f"{t}.0.fn.norm")
+        _convert_dense(params, p + (f"attn_{i}", "to_qkv"), sd, f"{t}.0.fn.fn.to_qkv")
+        _convert_dense(params, p + (f"attn_{i}", "to_out"), sd, f"{t}.0.fn.fn.to_out.0")
+        _convert_ln(params, p + (f"norm_ff_{i}",), sd, f"{t}.1.fn.norm")
+        _convert_dense(params, p + (f"ff_{i}", "Dense_0"), sd, f"{t}.1.fn.fn.net.0")
+        _convert_dense(params, p + (f"ff_{i}", "Dense_1"), sd, f"{t}.1.fn.fn.net.3")
+        i += 1
+    # per-frame decoder: PreNorm2 (query and memory share the norm)
+    i = 0
+    while f"transformer_decoder.layers.{i}.0.fn.norm.weight" in sd:
+        t = f"transformer_decoder.layers.{i}"
+        p = ("transformer_decoder",)
+        _convert_ln(params, p + (f"norm_attn_{i}",), sd, f"{t}.0.fn.norm")
+        for proj in ("to_q", "to_k", "to_v"):
+            _convert_dense(params, p + (f"attn_{i}", proj), sd, f"{t}.0.fn.fn.{proj}")
+        _convert_dense(params, p + (f"attn_{i}", "to_out"), sd, f"{t}.0.fn.fn.to_out.0")
+        _convert_ln(params, p + (f"norm_ff_{i}",), sd, f"{t}.1.fn.norm")
+        _convert_dense(params, p + (f"ff_{i}", "Dense_0"), sd, f"{t}.1.fn.fn.net.0")
+        _convert_dense(params, p + (f"ff_{i}", "Dense_1"), sd, f"{t}.1.fn.fn.net.3")
+        i += 1
+    return {"params": params, "batch_stats": bstats}
+
+
+# ---------------------------------------------------------------------------
+# ADHR-CDNet (reference models/adhr_cdnet.py:111-576 <-> models/adhr_cdnet.py)
+# ---------------------------------------------------------------------------
+
+def _convert_convbn_pair(params, bstats, prefix: tuple, sd, conv_key, bn_key):
+    """reference (convX, bnX) pair -> our _ConvBN (Conv_0 + BatchNorm_0)."""
+    _convert_conv(params, prefix + ("Conv_0",), sd, conv_key)
+    _convert_bn(params, bstats, prefix + ("BatchNorm_0",), sd, bn_key)
+
+
+def _convert_adhr_basic(params, bstats, prefix: tuple, sd, t: str):
+    """BasicBlock: conv1/bn1 + conv2/bn2 -> _ConvBN_0/_ConvBN_1."""
+    _convert_convbn_pair(params, bstats, prefix + ("_ConvBN_0",), sd, f"{t}.conv1", f"{t}.bn1")
+    _convert_convbn_pair(params, bstats, prefix + ("_ConvBN_1",), sd, f"{t}.conv2", f"{t}.bn2")
+
+
+def convert_adhr(sd: dict[str, np.ndarray]) -> dict:
+    """Reference ADHR state_dict -> flax variables. Skips the reference's
+    dead parameters (convf2/bnf2..., conv4_*to*, the shadowed 128->1 'final'
+    at adhr_cdnet.py:285) — they are constructed but never used in forward."""
+    params: dict = {}
+    bstats: dict = {}
+    # stem
+    _convert_conv(params, ("conv0_0",), sd, "conv0_0")
+    _convert_conv(params, ("conv0",), sd, "conv0")
+    _convert_bn(params, bstats, ("bn0",), sd, "bn0")
+    # part one: BottleneckN + 3x Bottleneck (bn3 shared with shortcut in _n)
+    t = "conv1_1_1"
+    _convert_convbn_pair(params, bstats, (t, "_ConvBN_0"), sd, f"{t}.conv1", f"{t}.bn1")
+    _convert_convbn_pair(params, bstats, (t, "_ConvBN_1"), sd, f"{t}.conv2", f"{t}.bn2")
+    _convert_conv(params, (t, "conv3"), sd, f"{t}.conv3")
+    _convert_conv(params, (t, "conv1_1"), sd, f"{t}.conv1_1")
+    _convert_bn(params, bstats, (t, "bn3"), sd, f"{t}.bn3")
+    for i in (2, 3, 4):
+        t = f"conv1_1_{i}"
+        _convert_convbn_pair(params, bstats, (t, "_ConvBN_0"), sd, f"{t}.conv1", f"{t}.bn1")
+        _convert_convbn_pair(params, bstats, (t, "_ConvBN_1"), sd, f"{t}.conv2", f"{t}.bn2")
+        _convert_convbn_pair(params, bstats, (t, "_ConvBN_2"), sd, f"{t}.conv3", f"{t}.bn3")
+    _convert_convbn_pair(params, bstats, ("trans1_1",), sd, "conv1_1", "bn1_1")
+    _convert_convbn_pair(params, bstats, ("trans1_2",), sd, "conv1_2", "bn1_2")
+    # branch stages: stage{s}_b{j} <- conv{s}_{j}_{1..4}
+    branch_counts = {2: 2, 3: 3, 4: 4}
+    for s, nb in branch_counts.items():
+        for j in range(1, nb + 1):
+            for i in range(1, 5):
+                _convert_adhr_basic(
+                    params, bstats, (f"stage{s}_b{j}", f"b{i}"), sd, f"conv{s}_{j}_{i}"
+                )
+    # differential VGG streams + 1x1 fusers
+    for s in (2, 3, 4):
+        _convert_convbn_pair(params, bstats, (f"conv{s}", "_ConvBN_0"), sd, f"conv{s}.conv1", f"conv{s}.bn1")
+        _convert_convbn_pair(params, bstats, (f"conv{s}", "_ConvBN_1"), sd, f"conv{s}.conv2", f"conv{s}.bn2")
+        _convert_conv(params, (f"c{s}",), sd, f"c{s}")
+    # exchange units (stage 2 and 3 only; stage 4 has none in forward)
+    up_links = {
+        ("t2_2to1", "conv2_2to1"), ("t3_2to1", "conv3_2to1"), ("t3_3to1", "conv3_3to1"),
+        ("t3_3to2", "conv3_3to2"),
+    }
+    for ours, ref in up_links:
+        _convert_convbn_pair(params, bstats, (ours, "_ConvBN_0"), sd, ref, ref.replace("conv", "bn", 1))
+    down_chains = {
+        "t2_1to2": ["conv2_1to2"],
+        "t2_1to3": ["conv2_1to3_1", "conv2_1to3_2"],
+        "t2_2to3": ["conv2_2to3"],
+        "t3_1to2": ["conv3_1to2"],
+        "t3_1to3": ["conv3_1to3_1", "conv3_1to3_2"],
+        "t3_2to3": ["conv3_2to3"],
+        "t3_1to4": ["conv3_1to4_1", "conv3_1to4_2", "conv3_1to4_3"],
+        "t3_2to4": ["conv3_2to4_1", "conv3_2to4_2"],
+        "t3_3to4": ["conv3_3to4"],
+    }
+    for ours, refs in down_chains.items():
+        for i, ref in enumerate(refs):
+            _convert_convbn_pair(
+                params, bstats, (ours, f"d{i}", ), sd, ref, ref.replace("conv", "bn", 1)
+            )
+    # final fusion: f{2,3,4} <- conv{2,3,4}f / bn{2,3,4}f (NOT the dead convf*)
+    for s in (2, 3, 4):
+        _convert_convbn_pair(params, bstats, (f"f{s}", "_ConvBN_0"), sd, f"conv{s}f", f"bn{s}f")
+    _convert_conv(params, ("attention1",), sd, "attention1")
+    _convert_conv(params, ("attention2",), sd, "attention2")
+    _convert_conv(params, ("final",), sd, "final")
+    return {"params": params, "batch_stats": bstats}
+
+
+# ---------------------------------------------------------------------------
+# UperNet (HF openmmlab/upernet-{convnext,swin}-* checkpoints, the models the
+# reference loads with from_pretrained at models/upernet.py:28-77
+# <-> kurosiwo_tpu/models/{upernet,swin}.py)
+# ---------------------------------------------------------------------------
+
+def _convert_upernet_convbn(params, bstats, prefix, sd, key):
+    """HF UperNetConvModule: {key}.conv (no bias) + {key}.batch_norm."""
+    _convert_conv(params, prefix + ("Conv_0",), sd, f"{key}.conv")
+    _convert_bn(params, bstats, prefix + ("BatchNorm_0",), sd, f"{key}.batch_norm")
+
+
+def _convert_upernet_head(params, bstats, sd):
+    head = ("decode_head",)
+    for i in range(3):
+        _convert_upernet_convbn(params, bstats, head + (f"lateral{i}",), sd, f"decode_head.lateral_convs.{i}")
+        _convert_upernet_convbn(params, bstats, head + (f"fpn_conv{i}",), sd, f"decode_head.fpn_convs.{i}")
+    for i in range(4):
+        _convert_upernet_convbn(params, bstats, head + ("psp", f"branch{i}"), sd, f"decode_head.psp_modules.{i}.1")
+    _convert_upernet_convbn(params, bstats, head + ("psp", "bottleneck"), sd, "decode_head.bottleneck")
+    _convert_upernet_convbn(params, bstats, head + ("fpn_bottleneck",), sd, "decode_head.fpn_bottleneck")
+    _convert_conv(params, head + ("classifier",), sd, "decode_head.classifier")
+
+
+def convert_upernet_convnext(sd: dict[str, np.ndarray]) -> dict:
+    params: dict = {}
+    bstats: dict = {}
+    bb = ("backbone",)
+    _convert_conv(params, bb + ("stem",), sd, "backbone.embeddings.patch_embeddings")
+    _convert_ln(params, bb + ("stem_norm",), sd, "backbone.embeddings.layernorm")
+    s = 0
+    while f"backbone.encoder.stages.{s}.layers.0.dwconv.weight" in sd:
+        if s > 0:
+            _convert_ln(params, bb + (f"down_norm{s}",), sd, f"backbone.encoder.stages.{s}.downsampling_layer.0")
+            _convert_conv(params, bb + (f"down{s}",), sd, f"backbone.encoder.stages.{s}.downsampling_layer.1")
+        b = 0
+        while f"backbone.encoder.stages.{s}.layers.{b}.dwconv.weight" in sd:
+            t = f"backbone.encoder.stages.{s}.layers.{b}"
+            p = bb + (f"stage{s}_block{b}",)
+            _convert_conv(params, p + ("dwconv",), sd, f"{t}.dwconv")
+            _convert_ln(params, p + ("norm",), sd, f"{t}.layernorm")
+            _convert_dense(params, p + ("pwconv1",), sd, f"{t}.pwconv1")
+            _convert_dense(params, p + ("pwconv2",), sd, f"{t}.pwconv2")
+            _set(params, p + ("gamma",), sd[f"{t}.layer_scale_parameter"])
+            b += 1
+        _convert_ln(params, bb + (f"out_norm{s}",), sd, f"backbone.hidden_states_norms.stage{s + 1}")
+        s += 1
+    _convert_upernet_head(params, bstats, sd)
+    return {"params": params, "batch_stats": bstats}
+
+
+def convert_upernet_swin(sd: dict[str, np.ndarray]) -> dict:
+    params: dict = {}
+    bstats: dict = {}
+    bb = ("backbone",)
+    _convert_conv(params, bb + ("patch_embed",), sd, "backbone.embeddings.patch_embeddings.projection")
+    _convert_ln(params, bb + ("patch_norm",), sd, "backbone.embeddings.norm")
+    s = 0
+    while f"backbone.encoder.layers.{s}.blocks.0.layernorm_before.weight" in sd:
+        if s > 0:
+            # HF downsample lives at the END of stage s-1; our merge{s} is the
+            # same op in the chain. HF patch-merging concat order is
+            # (row0col0, row1col0, row0col1, row1col1) vs our row-major
+            # (00, 01, 10, 11): permute the reduction's input groups [0,2,1,3]
+            ds = f"backbone.encoder.layers.{s - 1}.downsample"
+            _convert_ln(params, bb + (f"merge_norm{s}",), sd, f"{ds}.norm")
+            w = dense_kernel(sd[f"{ds}.reduction.weight"])  # (4C, 2C)
+            c = w.shape[0] // 4
+            groups = w.reshape(4, c, -1)[[0, 2, 1, 3]].reshape(4 * c, -1)
+            _set(params, bb + (f"merge{s}", "kernel"), groups)
+            # norm permutes identically (it normalizes the concatenated dim)
+            ln_scale = params["backbone"][f"merge_norm{s}"]["scale"]
+            ln_bias = params["backbone"][f"merge_norm{s}"]["bias"]
+            perm = np.arange(4 * c).reshape(4, c)[[0, 2, 1, 3]].reshape(-1)
+            params["backbone"][f"merge_norm{s}"]["scale"] = ln_scale[perm]
+            params["backbone"][f"merge_norm{s}"]["bias"] = ln_bias[perm]
+        b = 0
+        while f"backbone.encoder.layers.{s}.blocks.{b}.layernorm_before.weight" in sd:
+            t = f"backbone.encoder.layers.{s}.blocks.{b}"
+            p = bb + (f"stage{s}_block{b}",)
+            _convert_ln(params, p + ("norm1",), sd, f"{t}.layernorm_before")
+            att = f"{t}.attention"
+            qw = sd[f"{att}.self.query.weight"]
+            kw = sd[f"{att}.self.key.weight"]
+            vw = sd[f"{att}.self.value.weight"]
+            _set(params, p + ("attn", "qkv", "kernel"), dense_kernel(np.concatenate([qw, kw, vw], 0)))
+            qb = sd[f"{att}.self.query.bias"]
+            kb = sd[f"{att}.self.key.bias"]
+            vb = sd[f"{att}.self.value.bias"]
+            _set(params, p + ("attn", "qkv", "bias"), np.concatenate([qb, kb, vb], 0))
+            _set(
+                params, p + ("attn", "relative_position_bias"),
+                sd[f"{att}.self.relative_position_bias_table"],
+            )
+            _convert_dense(params, p + ("attn", "proj"), sd, f"{att}.output.dense")
+            _convert_ln(params, p + ("norm2",), sd, f"{t}.layernorm_after")
+            _convert_dense(params, p + ("fc1",), sd, f"{t}.intermediate.dense")
+            _convert_dense(params, p + ("fc2",), sd, f"{t}.output.dense")
+            b += 1
+        _convert_ln(params, bb + (f"out_norm{s}",), sd, f"backbone.hidden_states_norms.stage{s + 1}")
+        s += 1
+    _convert_upernet_head(params, bstats, sd)
+    return {"params": params, "batch_stats": bstats}
+
+
+def convert_upernet(sd: dict[str, np.ndarray]) -> dict:
+    """Dispatch on backbone family present in the HF state dict."""
+    if any("dwconv" in k for k in sd):
+        return convert_upernet_convnext(sd)
+    return convert_upernet_swin(sd)
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "snunet": convert_snunet,
     "floodvit": convert_floodvit,
@@ -506,10 +743,13 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "siam-diff": convert_siam,
     "siam-conc": convert_siam,
     "bit-cd": convert_bit_resnet,
+    "bit-cd-transformer": convert_bit_transformer,
     "convlstm": convert_convlstm,
     "changeformer": convert_changeformer,
     "transunet-cd": convert_transunet_cd,
     "hfa-net": convert_hfanet,
+    "adhr-cdnet": convert_adhr,
+    "upernet": convert_upernet,
 }
 
 

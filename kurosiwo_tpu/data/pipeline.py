@@ -23,6 +23,7 @@ instead ships a ragged batch (drop_last=False) which would retrace under jit.
 from __future__ import annotations
 
 import queue
+import zlib
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -44,7 +45,15 @@ def _needs_stats(config) -> bool:
 class Loader:
     """Iterable over batches for one split."""
 
-    def __init__(self, mode: str, config: dict, seed: int = 999, synthetic: bool | None = None):
+    def __init__(
+        self,
+        mode: str,
+        config: dict,
+        seed: int = 999,
+        synthetic: bool | None = None,
+        process_index: int | None = None,
+        process_count: int | None = None,
+    ):
         self.mode = mode
         self.config = config
         self.batch_size = int(config["batch_size"])
@@ -84,8 +93,24 @@ class Loader:
                 self.stats = compute_min_max_stats(all_records, str(root), config)
 
         self.oversampling = bool(config.get("oversampling")) and mode == "train"
-        self._rng = np.random.default_rng(seed + hash(mode) % 65536)
+        # zlib.crc32, NOT hash(): str hash is salted per process (PYTHONHASHSEED),
+        # which would silently desynchronize multi-host epoch shuffles
+        self._rng = np.random.default_rng(seed + zlib.crc32(mode.encode()) % 65536)
         self._epoch = 0
+
+        # multi-host: batch_size is the GLOBAL batch; all processes draw the
+        # same epoch indices (same seed), each decodes only its contiguous
+        # row block of every batch (parallel/distributed.py contract)
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index, process_count = jax.process_index(), jax.process_count()
+        self.process_index, self.process_count = int(process_index), int(process_count)
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by process count {self.process_count}"
+            )
+        self.local_batch_size = self.batch_size // self.process_count
 
     # -- sampling ---------------------------------------------------------
     def __len__(self):
@@ -169,13 +194,18 @@ class Loader:
         keys = samples[0].keys()
         return {k: np.stack([s[k] for s in samples]) for k in keys}
 
-    def _pad(self, samples: list[dict]) -> list[dict]:
-        """Pad eval batches to full size with zero-weight copies."""
-        pad = self.batch_size - len(samples)
+    def _pad(self, samples: list[dict], target: int) -> list[dict]:
+        """Pad eval batches to `target` with zero-weight copies. Padding is
+        numerically inert (sample_weight 0, mask all-ignore), so its content
+        needn't match across process counts."""
+        pad = target - len(samples)
         if pad <= 0:
             return samples
-        filler = dict(samples[-1])
-        filler = {k: np.copy(v) for k, v in filler.items()}
+        if samples:
+            filler = {k: np.copy(v) for k, v in samples[-1].items()}
+        else:
+            # a process whose row block is entirely padding (tiny last batch)
+            filler = {k: np.zeros_like(v) for k, v in self._process(self.records[0]).items()}
         filler["sample_weight"] = np.float32(0.0)
         filler["mask"] = np.full_like(filler["mask"], 3)  # all-ignore
         return samples + [filler] * pad
@@ -189,11 +219,15 @@ class Loader:
         if self.mode == "train":
             batches = [b for b in batches if len(b) == bs]
 
+        lo = self.process_index * self.local_batch_size
+        hi = lo + self.local_batch_size
+
         def produce(batch_ids):
+            local_ids = batch_ids[lo:hi]  # this process's rows of the batch
             with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                samples = list(pool.map(lambda i: self._process(self.records[int(i)]), batch_ids))
+                samples = list(pool.map(lambda i: self._process(self.records[int(i)]), local_ids))
             if self.mode != "train":
-                samples = self._pad(samples)
+                samples = self._pad(samples, self.local_batch_size)
             return self._collate(samples)
 
         # double-buffered prefetch: decode batch k+1 while k trains

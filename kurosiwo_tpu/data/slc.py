@@ -22,6 +22,8 @@ import json
 import os
 from pathlib import Path
 
+import zlib
+
 import numpy as np
 
 from .index import Record
@@ -111,8 +113,18 @@ class SLCLoader(Loader):
         self.negative_records = []
         self.stats = None
         self.oversampling = False
-        self._rng = np.random.default_rng(seed + hash(mode) % 65536)
+        # zlib.crc32, NOT hash(): str hash is salted per process (PYTHONHASHSEED),
+        # which would silently desynchronize multi-host epoch shuffles
+        self._rng = np.random.default_rng(seed + zlib.crc32(mode.encode()) % 65536)
         self._epoch = 0
+        import jax
+
+        self.process_index, self.process_count = jax.process_index(), jax.process_count()
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by process count {self.process_count}"
+            )
+        self.local_batch_size = self.batch_size // self.process_count
 
     def _read(self, record: Record) -> RawSample:
         cfg = self.config

@@ -108,6 +108,10 @@ class SSLLoader:
             self.samples = self.samples[: int(n_per_epoch)]
         self._rng = np.random.default_rng(seed)
         self._seed = seed
+        import jax
+
+        self.process_index, self.process_count = jax.process_index(), jax.process_count()
+        self.local_batch_size = self.batch_size // self.process_count
 
     def __len__(self):
         return len(self.samples) // self.batch_size
@@ -138,7 +142,11 @@ class SSLLoader:
         ids = np.arange(len(self.samples))
         batches = [ids[i : i + bs] for i in range(0, len(ids), bs) if i + bs <= len(ids)]
 
+        lo = self.process_index * self.local_batch_size
+        hi = lo + self.local_batch_size
+
         def produce(batch_ids):
+            batch_ids = batch_ids[lo:hi]  # this process's rows (multi-host)
             out_size = int(self.config.get("image_size", 224))
 
             def one(i):

@@ -237,7 +237,11 @@ def build_bit_cd(model_config: dict, num_classes: int = 3, dtype=jnp.float32):
     if net_g == "base_resnet18":
         return BiTResNet(num_classes=num_classes, dtype=dtype)
     if net_g == "base_transformer_pos_s4":
-        return BiTTransformer(num_classes=num_classes, token_len=4, resnet_stages_num=4, dtype=dtype)
+        # reference BASE_Transformer defaults: enc_depth=1, dec_depth=1
+        return BiTTransformer(
+            num_classes=num_classes, token_len=4, resnet_stages_num=4,
+            enc_depth=1, dec_depth=1, dtype=dtype,
+        )
     if net_g == "base_transformer_pos_s4_dd8":
         return BiTTransformer(
             num_classes=num_classes, token_len=4, resnet_stages_num=4, enc_depth=1, dec_depth=8, dtype=dtype

@@ -124,10 +124,11 @@ class SwinTransformer(nn.Module):
     backbone: str = "swin_tiny"
     window_size: int = 7
     dtype: Any = jnp.float32
+    spec: Any = None  # optional (depths, embed, heads) override
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        depths, embed, heads = SWIN_SPECS[self.backbone]
+        depths, embed, heads = self.spec or SWIN_SPECS[self.backbone]
         x = nn.Conv(embed, (4, 4), strides=4, dtype=self.dtype, name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
         feats = []

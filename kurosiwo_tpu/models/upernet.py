@@ -54,10 +54,11 @@ class ConvNeXtBlock(nn.Module):
 class ConvNeXt(nn.Module):
     backbone: str = "convnext_tiny"
     dtype: Any = jnp.float32
+    spec: Any = None  # optional (depths, dims) override (tests, custom sizes)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        depths, dims = CONVNEXT_SPECS[self.backbone]
+        depths, dims = self.spec or CONVNEXT_SPECS[self.backbone]
         feats = []
         for s in range(4):
             if s == 0:
@@ -79,19 +80,14 @@ class PSPModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.nn import adaptive_avg_pool
+
         h, w = x.shape[1:3]
         outs = [x]
         for i, b in enumerate(self.bins):
-            # adaptive average pool to (b, b): exact window average when the
-            # map divides evenly; bilinear resample otherwise (and bins larger
-            # than the map clamp to a global pool) so small feature maps from
-            # non-224 inputs stay valid
-            bb = min(b, h, w)
-            if h % bb == 0 and w % bb == 0:
-                ph, pw = h // bb, w // bb
-                pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
-            else:
-                pooled = resize_bilinear(x, (bb, bb))
+            # exact torch AdaptiveAvgPool2d semantics (HF UperNet parity,
+            # incl. non-divisible maps like 7x7 -> bins 2/3/6)
+            pooled = adaptive_avg_pool(x, (b, b))
             pooled = ConvBNAct(self.features, 1, padding=0, dtype=self.dtype, name=f"branch{i}")(pooled, train)
             outs.append(resize_bilinear(pooled, (h, w)))
         y = jnp.concatenate(outs, axis=-1)
@@ -131,15 +127,22 @@ class UperNet(nn.Module):
     backbone: str = "convnext_tiny"
     channels: int = 512
     dtype: Any = jnp.float32
+    backbone_spec: Any = None  # optional size override forwarded to the backbone
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.backbone in CONVNEXT_SPECS:
-            feats = ConvNeXt(self.backbone, dtype=self.dtype, name="backbone")(x, train)
-        elif self.backbone in SWIN_SPECS:
+        if self.backbone in CONVNEXT_SPECS or (
+            self.backbone_spec and self.backbone.startswith("convnext")
+        ):
+            feats = ConvNeXt(self.backbone, dtype=self.dtype, spec=self.backbone_spec, name="backbone")(x, train)
+        elif self.backbone in SWIN_SPECS or (
+            self.backbone_spec and self.backbone.startswith("swin")
+        ):
             from .swin import SwinTransformer
 
-            feats = SwinTransformer(self.backbone, dtype=self.dtype, name="backbone")(x, train)
+            feats = SwinTransformer(
+                self.backbone, dtype=self.dtype, spec=self.backbone_spec, name="backbone"
+            )(x, train)
         else:
             raise NotImplementedError(f"UperNet backbone {self.backbone!r}")
         logits = UperNetHead(self.channels, self.num_classes, self.dtype, name="decode_head")(feats, train)

@@ -115,6 +115,29 @@ def upsample2x(x: jnp.ndarray, method: str = "nearest", align_corners: bool = Fa
     return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)
 
 
+def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d exact semantics: output bin i averages input
+    rows [floor(i*H/o), ceil((i+1)*H/o)). Expressed as two small static
+    averaging matmuls (MXU/VPU friendly; no gathers), valid for any in/out
+    ratio including out > in (overlapping single-element windows)."""
+    import numpy as _np
+
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def mat(in_dim, out_dim):
+        m = _np.zeros((out_dim, in_dim), _np.float32)
+        for i in range(out_dim):
+            s = (i * in_dim) // out_dim
+            e = -(-((i + 1) * in_dim) // out_dim)
+            m[i, s:e] = 1.0 / (e - s)
+        return jnp.asarray(m)
+
+    y = jnp.einsum("oh,bhwc->bowc", mat(h, oh), x.astype(jnp.float32))
+    y = jnp.einsum("pw,bowc->bopc", mat(w, ow), y)
+    return y.astype(x.dtype)
+
+
 def replication_pad_to(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
     """torch ReplicationPad2d((0, dw, 0, dh)) equivalent — pad bottom/right by
     edge replication up to (target_h, target_w). Used by the siamese UNets to

@@ -28,11 +28,54 @@ def _sgd(lr, momentum, weight_decay):
     return tx
 
 
+def lr_scale_by_path(scales: dict):
+    """Per-param-group lr_scale, the torch param_groups mechanism the
+    reference MAE schedule supports (`/root/reference/training/train_mae.py:24-31`:
+    `param_group["lr"] = lr * param_group["lr_scale"]`).
+
+    `scales` maps a substring pattern -> multiplier; each param whose
+    '/'-joined path contains a pattern gets its UPDATE scaled by that factor
+    (first match wins; default 1.0). Scaling the final update is exactly
+    scaling the group lr: adam's update is linear in lr, and adamw's decoupled
+    weight decay term is -lr*wd*param, which torch scales identically.
+
+    Layer-decay finetuning (MAE appendix recipe) is expressed as e.g.
+    {f"layers_{i}/": decay**(depth - i) for i in range(depth)}."""
+    patterns = list(scales.items())
+
+    def scale_for(path) -> float:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        for pat, s in patterns:
+            if pat in name:
+                return float(s)
+        return 1.0
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        import jax
+
+        scaled = jax.tree_util.tree_map_with_path(lambda p, u: u * scale_for(p), updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(config: dict, model_config: dict, task: str = "segmentation"):
     """Returns an optax.GradientTransformation with injected 'learning_rate'."""
     lr = float(model_config.get("learning_rate", config.get("learning_rate", 1e-3)))
+    lr_scales = model_config.get("lr_scales") or config.get("lr_scales")
 
     if task in ("segmentation", "mae"):
+        if lr_scales:
+            return optax.inject_hyperparams(
+                lambda learning_rate: optax.chain(
+                    optax.adam(learning_rate), lr_scale_by_path(lr_scales)
+                )
+            )(learning_rate=lr)
         return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
     # change detection / recurrent

@@ -67,8 +67,21 @@ def replicated(plan: MeshPlan) -> NamedSharding:
 
 
 def shard_batch(plan: MeshPlan, batch: Any) -> Any:
-    """Place a host pytree of numpy arrays as batch-sharded device arrays."""
+    """Place a host pytree of numpy arrays as batch-sharded device arrays.
+
+    Single-process: a plain device_put. Multi-process (jax.distributed
+    initialized): `batch` holds each process's LOCAL rows of the global batch
+    (loader slice, parallel/distributed.py) and is assembled into global
+    jax.Arrays via make_array_from_process_local_data — the SPMD step then
+    runs on the global mesh with no further changes."""
     sh = batch_sharding(plan)
+    pc = jax.process_count()
+    if pc > 1:
+        def put(x):
+            gshape = (x.shape[0] * pc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

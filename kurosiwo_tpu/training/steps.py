@@ -94,11 +94,15 @@ def _combine_multiscale(outputs, config, model_config, train):
     if train:
         return outputs[-1], outputs  # last head for metrics; all for deep supervision
     if model_config.get("multi_scale_infer"):
+        from ..ops.nn import resize_nearest
+
         h, w = outputs[-1].shape[1:3]
         acc = jnp.zeros_like(outputs[-1])
         for o in outputs:
             if o.shape[1:3] != (h, w):
-                o = jax.image.resize(o, (o.shape[0], h, w, o.shape[-1]), "nearest")
+                # integer-factor nearest is broadcast+reshape (ops/nn.py) —
+                # jax.image.resize's gather loops are a measured TPU pathology
+                o = resize_nearest(o, (h, w))
             acc = acc + o
         return acc / len(outputs), None
     return outputs[-1], None

@@ -42,6 +42,14 @@ def main(argv=None):
     np.random.seed(args.seed)
     random.seed(args.seed)
 
+    # multi-host: wires jax.distributed from JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars; no-op single-process
+    from kurosiwo_tpu.parallel.distributed import initialize as distributed_init
+
+    pi, pc = distributed_init()
+    if pc > 1:
+        print(f"Distributed runtime: process {pi}/{pc}")
+
     configs = load_config(
         method=args.method, backbone=args.backbone, config_root=args.config_root, args=args
     )

@@ -85,3 +85,34 @@ def test_product_conventions():
     assert catalogue.product_type(False, 2) == "SL"
     assert catalogue.product_type(True, 0) == "MK"
     assert catalogue.grid_rel_path(130, None, "abcdef") == "130/00/ab/abcdef"
+
+
+def test_snap_graphs_ship_the_reference_chains():
+    """L0 artifact parity: the SNAP graphs are runnable XML with the exact
+    operator chains (reference configs/{grd,slc}_preprocessing.xml)."""
+    import xml.etree.ElementTree as ET
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "configs"
+    grd = ET.parse(root / "grd_preprocessing.xml")
+    ops = [n.find("operator").text for n in grd.findall("node")]
+    assert ops == [
+        "Read", "Apply-Orbit-File", "Subset", "ThermalNoiseRemoval",
+        "Remove-GRD-Border-Noise", "Land-Sea-Mask", "Calibration",
+        "Speckle-Filter", "Terrain-Correction", "Write",
+    ]
+    # grid alignment is what makes tiles stack across acquisitions
+    tc = [n for n in grd.findall("node") if n.get("id") == "Terrain-Correction"][0]
+    assert tc.find("parameters/alignToStandardGrid").text == "true"
+    assert tc.find("parameters/pixelSpacingInMeter").text == "10.0"
+
+    slc = ET.parse(root / "slc_preprocessing.xml")
+    ops = [n.find("operator").text for n in slc.findall("node")]
+    assert ops.count("TOPSAR-Split") == 3
+    assert ops.count("TOPSAR-Deburst") == 3
+    assert ops.count("BandMaths") == 4
+    exprs = {e.text for e in slc.iter("expression")}
+    assert exprs == {
+        "phase(i_VH ,q_VH)", "phase(i_VV ,q_VV)",
+        "ampl(i_VH ,q_VH)", "ampl(i_VV ,q_VV)",
+    }

@@ -335,3 +335,127 @@ def test_hfanet_parity(torch):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4)
+
+
+def test_adhr_cdnet_parity(torch):
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_adhr
+    from kurosiwo_tpu.models.adhr_cdnet import ADHR
+
+    ref_mod = _load_ref_module("models/adhr_cdnet.py", "ref_adhr")
+    tm = ref_mod.ADHR(2, 3).eval()
+
+    x = np.random.RandomState(0).randn(1, 2, 64, 64).astype(np.float32)
+    y = np.random.RandomState(1).randn(1, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_adhr({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = ADHR(num_classes=3, dtype=jnp.float32)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4)
+
+
+def test_bit_transformer_parity(torch):
+    """All three BASE_Transformer define_G variants (bit_cd.py:690-701)."""
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_bit_transformer
+    from kurosiwo_tpu.models.bit_cd import build_bit_cd
+
+    ref_mod = _load_ref_module("models/bit_cd.py", "ref_bit")
+    for net_g in (
+        "base_transformer_pos_s4",
+        "base_transformer_pos_s4_dd8",
+        "base_transformer_pos_s4_dd8_dedim8",
+    ):
+        tm = ref_mod.define_G(
+            {"net_G": net_g, "init_type": "normal", "init_gain": 0.02}, in_channels=2
+        ).eval()
+        x = np.random.RandomState(0).randn(1, 2, 64, 64).astype(np.float32)
+        y = np.random.RandomState(1).randn(1, 2, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref_out = tm(torch.tensor(x), torch.tensor(y)).permute(0, 2, 3, 1).numpy()
+
+        variables = convert_bit_transformer(
+            {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        )
+        model = build_bit_cd({"net_G": net_g}, num_classes=3, dtype=jnp.float32)
+        ours = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(y.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4, err_msg=net_g)
+
+
+def test_upernet_convnext_parity(torch):
+    """HF UperNetForSemanticSegmentation (ConvNext backbone) — the exact
+    model class the reference loads from_pretrained (upernet.py:28-77) —
+    constructed locally with a small random config (zero-egress env)."""
+    import jax.numpy as jnp
+    from transformers import ConvNextConfig, UperNetConfig, UperNetForSemanticSegmentation
+
+    from kurosiwo_tpu.convert import convert_upernet
+    from kurosiwo_tpu.models.upernet import UperNet
+
+    bc = ConvNextConfig(
+        num_channels=2, hidden_sizes=[16, 32, 64, 128], depths=[1, 1, 2, 1],
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    cfg = UperNetConfig(backbone_config=bc, hidden_size=32, num_labels=3)
+    tm = UperNetForSemanticSegmentation(cfg).eval()
+
+    x = np.random.RandomState(0).randn(1, 2, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x)).logits.permute(0, 2, 3, 1).numpy()
+
+    variables = convert_upernet({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = UperNet(
+        num_classes=3, backbone="convnext_custom", channels=32, dtype=jnp.float32,
+        backbone_spec=((1, 1, 2, 1), (16, 32, 64, 128)),
+    )
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4)
+
+
+def test_upernet_swin_parity(torch):
+    import jax.numpy as jnp
+    from transformers import SwinConfig, UperNetConfig, UperNetForSemanticSegmentation
+
+    from kurosiwo_tpu.convert import convert_upernet
+    from kurosiwo_tpu.models.upernet import UperNet
+
+    bc = SwinConfig(
+        num_channels=2, embed_dim=16, depths=[1, 1, 2, 1], num_heads=[1, 2, 4, 8],
+        window_size=7, image_size=224,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    cfg = UperNetConfig(backbone_config=bc, hidden_size=32, num_labels=3)
+    tm = UperNetForSemanticSegmentation(cfg).eval()
+
+    # 224 so every stage is window-aligned (56/28/14/7 with ws=7)
+    x = np.random.RandomState(1).randn(1, 2, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.tensor(x)).logits.permute(0, 2, 3, 1).numpy()
+
+    variables = convert_upernet({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    model = UperNet(
+        num_classes=3, backbone="swin_custom", channels=32, dtype=jnp.float32,
+        backbone_spec=((1, 1, 2, 1), 16, (1, 2, 4, 8)),
+    )
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-3)

@@ -112,3 +112,23 @@ def test_inject_lr_drives_update_inside_jit():
     np.testing.assert_allclose(np.asarray(u2["w"]), -2e-3, rtol=1e-4)
     # the input state is untouched (inject_lr is functional)
     assert float(opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-3)
+
+
+def test_lr_scale_groups_mae():
+    """Per-param-group lr_scale (reference train_mae.py:24-31): params whose
+    path matches a pattern get update = lr * scale, others lr * 1."""
+    import jax
+
+    cfg = {"method": "mae"}
+    mcfg = {"learning_rate": 1e-3, "lr_scales": {"encoder/": 0.25}}
+    tx = optim.create_optimizer(cfg, mcfg, task="mae")
+    params = {"encoder": {"w": jnp.ones((4,))}, "head": {"w": jnp.ones((4,))}}
+    state = tx.init(params)
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 2.0), params)
+    updates, _ = tx.update(grads, state, params)
+    # adam step-1 magnitude == lr; encoder scaled by 0.25
+    np.testing.assert_allclose(np.asarray(updates["head"]["w"]), -1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(updates["encoder"]["w"]), -0.25e-3, rtol=1e-4)
+    # inject_lr still reaches the inner adam through the chain
+    updates2, _ = tx.update(grads, optim.inject_lr(state, 2e-3), params)
+    np.testing.assert_allclose(np.asarray(updates2["head"]["w"]), -2e-3, rtol=1e-4)
