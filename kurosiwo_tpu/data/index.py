@@ -25,14 +25,30 @@ from pathlib import Path
 from typing import Any
 
 
+_GRID_INDEX_CACHE: dict[tuple, dict] = {}
+
+
 def load_grid_index(path: str | os.PathLike) -> dict:
-    """gzip-pickle loader (compress_pickle-compatible for .gz files)."""
+    """gzip-pickle loader (compress_pickle-compatible for .gz files).
+
+    Memoized per (path, mtime, size): three Loaders that each need min-max
+    stats walk all three splits' indices (up to 9 decompressions of a
+    ~700k-entry pickle on the real corpus) — one decode per file suffices.
+    """
     p = Path(path)
     if not p.is_file():
         raise FileNotFoundError(f"grid index pickle not found: {p}")
+    st = p.stat()
+    key = (str(p.resolve()), st.st_mtime_ns, st.st_size)
+    if key in _GRID_INDEX_CACHE:
+        return _GRID_INDEX_CACHE[key]
     opener = gzip.open if p.suffix in (".gz", ".gzip") else open
     with opener(p, "rb") as f:
-        return pickle.load(f)
+        grids = pickle.load(f)
+    if len(_GRID_INDEX_CACHE) >= 4:  # bound: the corpus has 3 split files
+        _GRID_INDEX_CACHE.pop(next(iter(_GRID_INDEX_CACHE)))
+    _GRID_INDEX_CACHE[key] = grids
+    return grids
 
 
 def load_slc_index(path: str | os.PathLike) -> list[dict]:

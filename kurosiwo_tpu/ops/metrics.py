@@ -80,6 +80,18 @@ def water_confusion_matrix(
     return confusion_matrix(wp, wl, num_classes=NUM_CLASSES + 1, ignore_index=ignore_index)
 
 
+_WATER_GROUP = np.asarray([0, 1, 1, 3])  # class collapse {1,2} -> 1
+
+
+def collapse_water_cm(cm: np.ndarray) -> np.ndarray:
+    """water_confusion_matrix as a host-side regrouping of the 4x4 cm."""
+    out = np.zeros_like(cm)
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            out[_WATER_GROUP[i], _WATER_GROUP[j]] += cm[i, j]
+    return out
+
+
 def derive(cm: np.ndarray | jnp.ndarray) -> dict[str, Any]:
     """All reference-visible metrics from a confusion matrix.
 
@@ -125,7 +137,6 @@ class MetricState:
     """
 
     cm: jnp.ndarray
-    water: jnp.ndarray
     zones: jnp.ndarray
     loss_sum: jnp.ndarray
     count: jnp.ndarray
@@ -135,7 +146,7 @@ class MetricState:
         z = jnp.zeros((num_zones, num_classes, num_classes), jnp.int32)
         c = jnp.zeros((num_classes, num_classes), jnp.int32)
         return MetricState(
-            cm=c, water=c, zones=z, loss_sum=jnp.zeros((), jnp.float32), count=jnp.zeros((), jnp.float32)
+            cm=c, zones=z, loss_sum=jnp.zeros((), jnp.float32), count=jnp.zeros((), jnp.float32)
         )
 
     def update(
@@ -147,7 +158,6 @@ class MetricState:
         clz: jnp.ndarray | None = None,
     ) -> "MetricState":
         cm = self.cm + confusion_matrix(predictions, labels).astype(jnp.int32)
-        water = self.water + water_confusion_matrix(predictions, labels).astype(jnp.int32)
         zones = self.zones
         if clz is not None:
             num_zones = self.zones.shape[0]
@@ -157,7 +167,6 @@ class MetricState:
             zones = zones + zone_updates.astype(jnp.int32)
         return MetricState(
             cm=cm,
-            water=water,
             zones=zones,
             loss_sum=self.loss_sum + loss * batch_weight,
             count=self.count + batch_weight,
@@ -168,7 +177,11 @@ class MetricState:
 
     def summarize(self) -> dict[str, Any]:
         out = derive(self.cm)
-        w = derive(self.water)
+        # water-only bank is a pure regrouping of cm (classes {1,2} -> 1,
+        # segmentation_trainer.py:407-411): derived on host, NOT accumulated
+        # on device — predictions never emit class 3 (argmax over 3 classes)
+        # and label-3 pixels are already excluded from cm
+        w = derive(collapse_water_cm(np.asarray(self.cm)))
         out["water_fscore"] = w["fscore"]
         out["val_loss"] = float(np.asarray(self.loss_sum)) / max(float(np.asarray(self.count)), 1e-12)
         out["zones"] = [derive(np.asarray(self.zones)[z]) for z in range(self.zones.shape[0])]

@@ -101,8 +101,11 @@ class TaskEngine:
         train_criterion = create_loss(config, mode="train")
         eval_criterion = create_loss(config, mode="val")
         with_aoi = bool(config.get("log_AOI_metrics"))
+        # wandb.watch-equivalent gradient tracking (reference main.py:144)
+        self.with_grad_norm = bool(config.get("wandb_activate") or config.get("log_grad_norm"))
         self._train_step_fn = make_train_step(
-            self.model, self.tx, train_criterion, config, model_config, task
+            self.model, self.tx, train_criterion, config, model_config, task,
+            with_grad_norm=self.with_grad_norm,
         )
         # eval in f32 like the reference (autocast force-off at eval,
         # segmentation_trainer.py:321): same f32 params, f32 compute twin.
@@ -142,9 +145,10 @@ class TaskEngine:
         nbatches = 0
         for index, device_batch in enumerate(device_prefetch(loader, self.plan)):
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metric_state, loss = self._train_step(
+            self.state, metric_state, aux = self._train_step(
                 self.state, device_batch, metric_state, jnp.asarray(lr_value, jnp.float32), step_rng
             )
+            loss, grad_norm = aux if self.with_grad_norm else (aux, None)
             nbatches += 1
             if index % int(cfg.get("print_frequency", 10)) == 0:
                 # per-iteration metric snapshot from the cumulative device bank
@@ -153,7 +157,10 @@ class TaskEngine:
                 from ..ops.metrics import derive
 
                 snap = derive(np.asarray(metric_state.cm))
-                self.logger.log_train_iteration(epoch, index, float(loss), lr_value, snap)
+                self.logger.log_train_iteration(
+                    epoch, index, float(loss), lr_value, snap,
+                    grad_norm=None if grad_norm is None else float(grad_norm),
+                )
         summary = metric_state.summarize()
         summary["epoch_time_s"] = time.time() - t0
         summary["batches"] = nbatches

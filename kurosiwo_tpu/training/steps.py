@@ -116,8 +116,12 @@ def make_train_step(
     model_config: dict,
     task: str = "segmentation",
     with_aoi: bool = False,
+    with_grad_norm: bool = False,
 ):
-    """Returns train_step(state, batch, metric_state, lr, rng) -> (state, metrics, aux)."""
+    """Returns train_step(state, batch, metric_state, lr, rng) -> (state, metrics, aux).
+    aux is the scalar loss, or (loss, global_grad_norm) when with_grad_norm —
+    the TPU equivalent of the reference's wandb.watch gradient tracking
+    (main.py:144), as a norm scalar instead of host-side histograms."""
     assemble = {
         "segmentation": assemble_segmentation_input,
         "cd": assemble_cd_inputs,
@@ -179,6 +183,10 @@ def make_train_step(
         new_state = TrainState(
             step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )
+        if with_grad_norm:
+            import optax
+
+            return new_state, metric_state, (loss, optax.global_norm(grads))
         return new_state, metric_state, loss
 
     return train_step

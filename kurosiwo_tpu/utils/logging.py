@@ -56,8 +56,14 @@ class MetricLogger:
         elif self.on_screen:
             print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in payload.items()}))
 
-    def log_train_iteration(self, epoch: int, index: int, loss: float, lr: float, snap: dict | None = None):
+    def log_train_iteration(
+        self, epoch: int, index: int, loss: float, lr: float, snap: dict | None = None,
+        grad_norm: float | None = None,
+    ):
         payload = {"Epoch": epoch, "Iteration": index, "Train Loss": loss, "lr": lr}
+        if grad_norm is not None:
+            # wandb.watch(log_freq=20) equivalent (reference main.py:144)
+            payload["Gradient norm"] = grad_norm
         if snap is not None:
             for c in range(NUM_CLASSES):
                 payload[f"Train Accuracy ({CLASS_LABELS[c]})"] = 100 * float(snap["accuracy"][c])
