@@ -736,6 +736,33 @@ def convert_upernet(sd: dict[str, np.ndarray]) -> dict:
     return convert_upernet_swin(sd)
 
 
+def load_pretrained_upernet(model_name: str, num_channels: int, num_classes: int) -> dict:
+    """Reference parity for `/root/reference/models/upernet.py:28-77`:
+    `UperNetForSemanticSegmentation.from_pretrained(openmmlab/upernet-...)`,
+    first conv replaced with a fresh one for `num_channels`, classifier
+    swapped to `num_classes` — then converted to flax variables. Requires the
+    HF checkpoint to be locally cached or the network reachable."""
+    import torch
+    from transformers import UperNetForSemanticSegmentation
+
+    m = UperNetForSemanticSegmentation.from_pretrained(model_name)
+    emb = m.backbone.embeddings.patch_embeddings
+    proj = getattr(emb, "projection", emb)  # swin nests a .projection conv
+    fresh = torch.nn.Conv2d(
+        num_channels, proj.out_channels, kernel_size=proj.kernel_size,
+        stride=proj.stride, padding=proj.padding,
+    )
+    if hasattr(emb, "projection"):
+        emb.projection = fresh
+        emb.num_channels = num_channels
+    else:
+        m.backbone.embeddings.patch_embeddings = fresh
+    head = m.decode_head.classifier
+    m.decode_head.classifier = torch.nn.Conv2d(head.in_channels, num_classes, kernel_size=1)
+    sd = {k: v.detach().cpu().numpy() for k, v in m.state_dict().items()}
+    return convert_upernet(sd)
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "snunet": convert_snunet,
     "floodvit": convert_floodvit,

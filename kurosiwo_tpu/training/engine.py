@@ -97,6 +97,7 @@ class TaskEngine:
             self.model, self.tx, rng, example_inputs_for_task(task, config, size=init_size)
         )
         self.rng = rng
+        self._load_pretrained_weights()
 
         train_criterion = create_loss(config, mode="train")
         eval_criterion = create_loss(config, mode="val")
@@ -135,6 +136,52 @@ class TaskEngine:
         )
 
     # ------------------------------------------------------------------
+    def _load_pretrained_weights(self):
+        """Initialization-time weight loading (reference surface:
+        smp's pretrained="imagenet" encoders, model_utilities.py:110-157, and
+        UperNet from_pretrained, upernet.py:28-77):
+          * pretrained_checkpoint: a torch checkpoint for THIS method,
+            converted wholesale (convert.CONVERTERS);
+          * pretrained_encoder: a torchvision resnet state-dict path grafted
+            into the model's `encoder` subtree (stem kept random when the
+            input-channel count differs);
+          * pretrained_upernet: an HF hub name/path loaded via
+            from_pretrained + first-conv/classifier patching."""
+        cfg = self.config
+        if cfg.get("pretrained_checkpoint"):
+            from ..convert import convert
+
+            variables = convert(cfg["pretrained_checkpoint"], cfg["method"])
+            self.state = TrainState(
+                step=self.state.step,
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats") or self.state.batch_stats,
+                opt_state=self.state.opt_state,
+            )
+        elif cfg.get("pretrained_encoder"):
+            from ..convert import convert_torchvision_resnet, graft_encoder, load_torch_state_dict
+
+            enc = convert_torchvision_resnet(load_torch_state_dict(cfg["pretrained_encoder"]))
+            variables = graft_encoder(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats}, enc
+            )
+            self.state = TrainState(
+                step=self.state.step, params=variables["params"],
+                batch_stats=variables.get("batch_stats", self.state.batch_stats),
+                opt_state=self.state.opt_state,
+            )
+        elif cfg.get("pretrained_upernet"):
+            from ..convert import load_pretrained_upernet
+
+            variables = load_pretrained_upernet(
+                cfg["pretrained_upernet"], cfg["num_channels"], cfg.get("num_classes", 3)
+            )
+            self.state = TrainState(
+                step=self.state.step, params=variables["params"],
+                batch_stats=variables.get("batch_stats") or self.state.batch_stats,
+                opt_state=self.state.opt_state,
+            )
+
     def run_train_epoch(self, loader: Loader, epoch: int) -> dict:
         cfg = self.config
         metric_state = MetricState.create()

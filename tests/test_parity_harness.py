@@ -37,3 +37,38 @@ def test_parity_cli_smoke(tmp_path, capsys):
     assert report["f1_within_tolerance"] is True
     out = capsys.readouterr().out
     assert "test_mean_f1" in out and json.loads(out)
+
+
+def test_engine_pretrained_checkpoint(tmp_path):
+    """TaskEngine loads a converted torch checkpoint at init
+    (pretrained_checkpoint config key)."""
+    import importlib.util
+    import sys
+
+    import jax.numpy as jnp
+    import torch
+
+    spec = importlib.util.spec_from_file_location("ref_snunet_e", REF / "models/snunet.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_snunet_e"] = mod
+    spec.loader.exec_module(mod)
+    tm = mod.SNUNet_ECAM(in_channels=2, out_ch=3, base_channel=8).eval()
+    ckpt = tmp_path / "snunet.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    from kurosiwo_tpu.models.factory import initialize_cd_model
+    from kurosiwo_tpu.training.engine import TaskEngine
+
+    cfg = {
+        "task": "cd", "method": "snunet", "num_classes": 3, "num_channels": 2,
+        "mixed_precision": False, "inputs": ["pre_event_1", "post_event"],
+        "weighted": False, "loss_function": "cross_entropy",
+        "log_zone_metrics": False, "log_AOI_metrics": False, "batch_size": 4,
+        "pretrained_checkpoint": str(ckpt),
+    }
+    mcfg = {"backbone": None, "base_channel": 8, "learning_rate": 1e-3, "optimizer": "adam"}
+    model = initialize_cd_model(cfg, mcfg)
+    engine = TaskEngine(model, cfg, mcfg, "cd", steps_per_epoch=1, init_size=32)
+    want = tm.state_dict()["conv0_0.conv1.weight"].detach().numpy()
+    got = np.asarray(engine.state.params["conv0_0"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got, want.transpose(2, 3, 1, 0), atol=1e-6)
