@@ -77,3 +77,25 @@ def test_unet_phase_finale_matches_standard():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4), mf, ms
     )
+
+
+def test_compact_kernels_match_3x3_folds():
+    """The 2x2-tap compact forms (ops/phase.py) equal the 3x3 folded kernels
+    applied with SAME padding — same math minus the structural-zero taps."""
+    from kurosiwo_tpu.ops.phase import (
+        conv2x2_shifted,
+        fold_up2_kernel_c,
+        phase_conv_kernel_c,
+    )
+
+    rs = np.random.RandomState(2)
+    w = jnp.asarray(rs.randn(3, 3, 5, 7).astype(np.float32))
+    x = jnp.asarray(rs.randn(2, 8, 10, 5).astype(np.float32))
+    ref = _conv(x, fold_up2_kernel(w))
+    got = conv2x2_shifted(x, fold_up2_kernel_c(w))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    z = space_to_depth(jnp.asarray(rs.randn(2, 16, 20, 5).astype(np.float32)))
+    ref = _conv(z, phase_conv_kernel(w))
+    got = conv2x2_shifted(z, phase_conv_kernel_c(w))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
