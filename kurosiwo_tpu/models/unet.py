@@ -15,6 +15,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
+
 from ..ops.nn import (
     ConvBNAct,
     ConvParams,
@@ -88,7 +90,7 @@ class _FoldUpConvBN(nn.Module):
         z = depth_to_space(conv_same(x.astype(self.dtype), k_up)) + conv_same(
             skip.astype(self.dtype), k_skip
         )
-        z = nn.BatchNorm(
+        z = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(z)
         return nn.relu(z)
@@ -139,12 +141,18 @@ class UNet(nn.Module):
 
 
 class UNetPlusPlus(nn.Module):
-    """smp.UnetPlusPlus-equivalent nested dense decoder."""
+    """smp.UnetPlusPlus-equivalent nested dense decoder.
+
+    `fold_up` (default on, even input sizes only) computes every grid node's
+    first conv with the folded up-leg (DecoderBlock.fold_up) — the nested
+    dense skips never materialize their 2x-upsampled maps. Exact
+    reparameterization; parameters identical (tests/test_phase.py)."""
 
     num_classes: int
     backbone: str = "resnet18"
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
+    fold_up: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -155,12 +163,13 @@ class UNetPlusPlus(nn.Module):
         levels = len(enc)
         node_ch = [32, 64, 128, 256]  # out channels per level i (matches plan)
         grid: dict[tuple[int, int], jnp.ndarray] = {(i, 0): enc[i] for i in range(levels)}
+        fold = self.fold_up and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         for j in range(1, levels):
             for i in range(0, levels - j):
                 skip = jnp.concatenate([grid[(i, k)] for k in range(j)], axis=-1)
-                grid[(i, j)] = DecoderBlock(node_ch[i], dtype=self.dtype, name=f"dec_{i}_{j}")(
-                    grid[(i + 1, j - 1)], skip, train
-                )
+                grid[(i, j)] = DecoderBlock(
+                    node_ch[i], dtype=self.dtype, fold_up=fold, name=f"dec_{i}_{j}"
+                )(grid[(i + 1, j - 1)], skip, train)
         y = grid[(0, levels - 1)]  # at /2 resolution
         y = upsample2x(y, "nearest")  # back to input resolution
         y = ConvBNAct(self.decoder_channels[-1], 3, dtype=self.dtype, name="final_block")(y, train)

@@ -99,3 +99,22 @@ def test_compact_kernels_match_3x3_folds():
     ref = _conv(z, phase_conv_kernel(w))
     got = conv2x2_shifted(z, phase_conv_kernel_c(w))
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_unetplusplus_fold_up_matches_standard():
+    from kurosiwo_tpu.models.unet import UNetPlusPlus
+
+    rng = jax.random.PRNGKey(4)
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 64, 64, 6).astype(np.float32))
+    fast = UNetPlusPlus(num_classes=3, backbone="resnet18", fold_up=True)
+    slow = UNetPlusPlus(num_classes=3, backbone="resnet18", fold_up=False)
+    variables = fast.init(rng, x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        slow.init(rng, x, train=False)
+    )
+    yf, mf = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+    ys, ms = slow.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys), atol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4), mf, ms
+    )
