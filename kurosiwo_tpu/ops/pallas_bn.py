@@ -22,6 +22,16 @@ C | 128 becomes (N*C/128, 128), each lane accumulating one channel modulo
 C; lanes are regrouped to per-channel sums on the host side of the call.
 This keeps every load a full (sublane, 128) vreg regardless of C — the
 C=16/32/64 decoder channels that pad an XLA reduce's lanes cost nothing.
+
+MEASURED RESULT (docs/performance.md round 2): in-step this is a 3.5x
+REGRESSION (923 vs 3,234 patches/s on the UNet b128 train step). The
+(B, H, W, C)->(N*C/128, 128) view is not a relayout on TPU — for C<128 it
+shuffles spatial positions into the lane dimension across tile boundaries,
+and the opaque pallas_call additionally blocks producer/consumer fusion
+around every BN. Same failure mode as the Gram-matmul attempt
+(ops/fused_bn.py). Kept as tested, partition-aware infrastructure; the
+model zoo stays on flax BatchNorm + XLA reduces, which read the conv
+output in its native layout.
 """
 
 from __future__ import annotations
