@@ -244,6 +244,8 @@ def test_changeformer_parity(torch):
             super().__init__()
             self.drop_prob = drop_prob
 
+    import importlib.machinery
+
     timm = types.ModuleType("timm")
     timm_models = types.ModuleType("timm.models")
     timm_layers = types.ModuleType("timm.models.layers")
@@ -252,6 +254,11 @@ def test_changeformer_parity(torch):
     timm_layers.trunc_normal_ = torch.nn.init.trunc_normal_
     timm.models = timm_models
     timm_models.layers = timm_layers
+    # a real ModuleSpec on each stub: transformers probes availability via
+    # importlib.util.find_spec("timm"), which raises ValueError on a
+    # sys.modules entry whose __spec__ is None (test-order dependent crash)
+    for _m in (timm, timm_models, timm_layers):
+        _m.__spec__ = importlib.machinery.ModuleSpec(_m.__name__, loader=None)
     sys.modules.setdefault("timm", timm)
     sys.modules.setdefault("timm.models", timm_models)
     sys.modules.setdefault("timm.models.layers", timm_layers)
