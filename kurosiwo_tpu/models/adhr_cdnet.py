@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
+
 from ..ops.nn import max_pool, resize_bilinear
 
 Dtype = Any
@@ -40,7 +42,7 @@ class _ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel), strides=self.stride, padding=pad, dtype=self.dtype)(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+        return FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class BasicBlock(nn.Module):
@@ -77,7 +79,7 @@ class BottleneckN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn3 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn3")
+        bn3 = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn3")
         y = nn.relu(_ConvBN(self.mid, 1, dtype=self.dtype)(x, train))
         y = nn.relu(_ConvBN(self.mid, 3, dtype=self.dtype)(y, train))
         y = bn3(nn.Conv(self.out, (1, 1), dtype=self.dtype, name="conv3")(y))
@@ -149,7 +151,7 @@ class ADHR(nn.Module):
         d1 = jnp.abs(x1s - y1s)
         fused = nn.Conv(32, (3, 3), padding=1, dtype=dt, name="conv0")(jnp.concatenate([x, y], axis=-1))
         h = jnp.concatenate([d1, fused], axis=-1)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="bn0")(h)
+        h = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="bn0")(h)
         h = nn.relu(h)
 
         # part one: 4 bottlenecks at full res (64 -> 256 ch)

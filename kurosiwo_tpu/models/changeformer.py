@@ -26,6 +26,8 @@ from typing import Any, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
 from einops import rearrange
 
 from ..ops.attention import attention as fused_attention
@@ -180,7 +182,7 @@ class ConvDiff(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
         return nn.relu(x)
 
@@ -196,7 +198,7 @@ class MakePrediction(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(x)
 
 
@@ -241,7 +243,7 @@ class DecoderTransformerV3(nn.Module):
         # cat((_c4_up, _c3_up, _c2_up, _c1)) order (changeformer.py:601)
         fused = jnp.concatenate(ups, axis=-1)
         fused = nn.Conv(ed, (1, 1), dtype=self.dtype, name="linear_fuse")(fused)
-        fused = nn.BatchNorm(
+        fused = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="fuse_bn"
         )(fused)
         x = TorchConvTranspose(ed, 4, 2, 1, dtype=self.dtype, name="convd2x")(fused)

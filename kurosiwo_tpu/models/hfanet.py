@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
+
 from ..ops.nn import TorchConvTranspose, max_pool, resize_bilinear
 
 _SOBEL = [
@@ -100,7 +102,7 @@ class ConvBNPReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel), padding=self.kernel // 2, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         return PReLU()(x)
 
 
@@ -137,7 +139,7 @@ class SpatialAttentionStage(nn.Module):
         x = ConvBNPReLU(c // 32, dtype=self.dtype)(x, train)
         x = ConvBNPReLU(c // 64, kernel=1, dtype=self.dtype)(x, train)
         x = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         mask = nn.sigmoid(x)
         return residual + residual * mask
 

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
+
 from ..ops.nn import Dropout2d, TorchConvTranspose, max_pool, replication_pad_to
 
 
@@ -31,7 +33,7 @@ class _ConvBNDrop(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
         return Dropout2d(0.2, name="do")(x, deterministic=not train)
 
@@ -47,7 +49,7 @@ class _TConvBNDrop(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConvTranspose(self.features, 3, 1, 1, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
         return Dropout2d(0.2, name="do")(x, deterministic=not train)
 

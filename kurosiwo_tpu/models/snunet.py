@@ -29,6 +29,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
+
 from ..ops.nn import ChannelAttention, ConvTranspose2x, max_pool
 
 
@@ -75,10 +77,10 @@ class ConvBlockNested(nn.Module):
             x = x + conv_same(g.astype(self.dtype), kp)
             off += g.shape[-1]
         identity = x
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=True, dtype=self.dtype, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
+        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         return nn.relu(x + identity)
 
 

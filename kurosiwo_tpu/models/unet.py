@@ -15,6 +15,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
+
 from ..ops.nn import (
     ConvBNAct,
     ConvParams,
@@ -88,7 +90,7 @@ class _FoldUpConvBN(nn.Module):
         z = depth_to_space(conv_same(x.astype(self.dtype), k_up)) + conv_same(
             skip.astype(self.dtype), k_skip
         )
-        z = nn.BatchNorm(
+        z = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(z)
         return nn.relu(z)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .pallas_bn import BatchNorm as FusedBatchNorm
 from .phase import fold_up2_kernel, phase_batch_unview, phase_batch_view, phase_conv_kernel
 
 Dtype = Any
@@ -180,7 +181,7 @@ class ConvBNAct(nn.Module):
             kernel, _ = ConvParams((3, 3, cin, self.features), name="Conv_0")()
             fold = fold_up2_kernel if self.phase == "up" else phase_conv_kernel
             z = conv_same(x.astype(self.dtype), fold(kernel).astype(self.dtype))
-            z = nn.BatchNorm(
+            z = FusedBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
             )(phase_batch_view(z))
             if self.act is not None:
@@ -198,7 +199,7 @@ class ConvBNAct(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
+        x = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(x)
         if self.act is not None:

@@ -102,9 +102,13 @@ def _pair_sums_local(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
         if blk:
             out = _pair_call(a.reshape(n, c), b.reshape(n, c), blk, c, interpret)
             return out[0], out[1]
-    af = a.astype(jnp.float32).reshape(n, c)
-    bf = b.astype(jnp.float32).reshape(n, c)
-    return jnp.sum(af, axis=0), jnp.sum(af * bf, axis=0)
+    # XLA path: reduce over the native shape — a reshape to (N, C) here
+    # forces a relayout copy of custom conv-output layouts (measured 1.75x
+    # step regression); axis-reduces fuse convert+multiply into one pass
+    axes = tuple(range(a.ndim - 1))
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    return jnp.sum(af, axis=axes), jnp.sum(af * bf, axis=axes)
 
 
 @functools.lru_cache(maxsize=None)
@@ -170,12 +174,17 @@ def _partitioned_pair_sums(ndim: int, interpret: bool):
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def pair_sums(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
     """Per-channel (sum(a), sum(a*b)) over all leading axes; channel = last
-    axis. f32 accumulation. Pallas-fused on TPU (single pass over the data,
-    full 128-lane vregs regardless of C), XLA reduces elsewhere; partitions
-    under a mesh via the custom_partitioning rule above."""
+    axis. f32 accumulation. Kernel or XLA reduces per `_use_pallas`; on a
+    single device the custom_partitioning wrapper is bypassed entirely (it
+    only exists to shard the call on >1-device meshes).
+
+    Deliberately NOT wrapped in jax.jit: an inner jit lowers to a separate
+    XLA computation whose call boundary forces operands into default
+    layouts — every conv output would be relayout-copied before its BN."""
+    if len(jax.devices()) == 1:
+        return _pair_sums_local(a, b, interpret)
     return _partitioned_pair_sums(a.ndim, interpret)(a, b)
 
 
@@ -194,7 +203,10 @@ def _bn_fwd_core(x, scale, bias, eps, interpret):
     mean = s1 / n
     var = s2 / n - mean * mean
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x.astype(jnp.float32) - mean) * (inv * scale) + bias).astype(x.dtype)
+    # elementwise pass in x.dtype (flax semantics): per-channel factors are
+    # folded in f32 then cast once, the big tensor never upcasts
+    dt = x.dtype
+    y = x * (inv * scale).astype(dt) + (bias - mean * inv * scale).astype(dt)
     return y, mean, var, inv
 
 
@@ -210,10 +222,15 @@ def _bn_bwd(eps, interpret, res, cts):
     sum_dy, sum_dyx = pair_sums(dy, x, interpret=interpret)
     dbeta = sum_dy
     dgamma = inv * (sum_dyx - mean * sum_dy)
-    xf = x.astype(jnp.float32)
-    dyf = dy.astype(jnp.float32)
-    xhat = (xf - mean) * inv
-    dx = ((scale * inv) * (dyf - (dbeta + xhat * dgamma) / n)).astype(x.dtype)
+    # dx = (scale*inv) * (dy - (dbeta + xhat*dgamma)/n) with
+    # xhat = (x - mean)*inv, regrouped so the big-tensor arithmetic stays in
+    # x.dtype with per-channel f32 factors folded and cast once:
+    # dx = A*dy + B*x + C
+    dt = x.dtype
+    a_f = scale * inv
+    b_f = -a_f * inv * dgamma / n
+    c_f = -a_f * (dbeta / n) - b_f * mean
+    dx = dy * a_f.astype(dt) + x * b_f.astype(dt) + c_f.astype(dt)
     return dx, dgamma, dbeta
 
 
@@ -221,11 +238,18 @@ bn_train_apply.defvjp(_bn_fwd, _bn_bwd)
 
 
 def _use_pallas() -> bool:
-    """Pallas-Mosaic path only on TPU backends (the axon tunnel reports its
-    own platform name); CPU/GPU get the XLA fallback inside pair_sums.
+    """Mosaic kernel path is OPT-IN (KUROSIWO_PALLAS_BN=1) and TPU-only:
+    in-step it measured 3.5x slower than the XLA reduces (see module
+    docstring), so the default everywhere is the XLA path — which still
+    wins over flax autodiff by running the hand-derived two-reduce
+    backward instead of autodiff's three.
 
-    Multi-device meshes are fine: `_partitioned_pair_sums` supplies the
-    partitioning rule (per-shard kernel + psum of the partials)."""
+    Multi-device meshes are fine either way: `_partitioned_pair_sums`
+    supplies the partitioning rule (per-shard partials + psum)."""
+    import os
+
+    if os.environ.get("KUROSIWO_PALLAS_BN") != "1":
+        return False
     backend = jax.default_backend()
     return backend == "tpu" or "axon" in backend
 
