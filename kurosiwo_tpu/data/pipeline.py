@@ -112,6 +112,18 @@ class Loader:
             )
         self.local_batch_size = self.batch_size // self.process_count
 
+        # packed-shard fast path (data/shards.py): one memmap slice per
+        # sample instead of ~9 GeoTIFF opens; falls through to tile decode
+        # for records missing from the pack (or when unconfigured)
+        self.shard_reader = None
+        shard_root = config.get("packed_shards")
+        if shard_root:
+            from .shards import ShardReader
+
+            split_dir = Path(shard_root) / mode
+            if (split_dir / "manifest.json").is_file():
+                self.shard_reader = ShardReader(split_dir)
+
     # -- sampling ---------------------------------------------------------
     def __len__(self):
         n = len(self.records)
@@ -144,6 +156,8 @@ class Loader:
 
     # -- decode -----------------------------------------------------------
     def _read(self, record: Record) -> RawSample:
+        if self.shard_reader is not None and record.id in self.shard_reader:
+            return self.shard_reader.read(record.id)
         if self.synthetic:
             size = int(self.config.get("synthetic_patch_size", 224))
             return synthetic_raw_sample(record, self.config, size=size, seed=self.seed)
