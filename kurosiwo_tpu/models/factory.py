@@ -91,9 +91,14 @@ def initialize_cd_model(config: dict, model_config: dict, phase: str = "train"):
     if method == "snunet":
         from .snunet import SNUNetECAM
 
+        # remat defaults ON at batch >= 64: the dense nested-skip decoder
+        # only fits the reference's batch 128 on one v5e chip with the
+        # column-granular remat plan (docs/performance.md); an explicit
+        # config "remat" key still wins either way
+        remat = config["remat"] if "remat" in config else int(config.get("batch_size", 0)) >= 64
         return SNUNetECAM(
             num_classes=nc, base_channel=model_config.get("base_channel", 32),
-            remat=bool(config.get("remat")), dtype=dt,
+            remat=bool(remat), dtype=dt,
         )
     if method == "bit-cd":
         from .bit_cd import build_bit_cd

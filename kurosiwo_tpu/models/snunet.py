@@ -29,8 +29,6 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
-
 from ..ops.nn import ChannelAttention, ConvTranspose2x, max_pool
 
 
@@ -43,17 +41,29 @@ class ConvBlockNested(nn.Module):
     kernel split along Cin at trace time — exact, parameters identical, and
     the dense-skip concats (up to 224ch at 224^2, 2.7 GB at batch 128) are
     never materialized in forward OR backward. Adjacent parts are grouped to
-    >=64 channels so the MXU contraction stays wide."""
+    >=64 channels so the MXU contraction stays wide.
+
+    Deliberately uses flax nn.BatchNorm (not ops.pallas_bn.BatchNorm): the
+    batch-128 column-remat plan was tuned against autodiff BN, and the
+    custom-vjp residual set pushes the peak over HBM (measured OOM at
+    batch 128)."""
 
     mid_ch: int
     out_ch: int
     dtype: Any = jnp.float32
+    # apply the 2x2 stride-2 max-pool INSIDE the block so that, under remat,
+    # only the pre-pool tensor (already live as a skip feature) is saved —
+    # the pooled encoder inputs (~370 MB across levels/frames at batch 128)
+    # are recomputed in the backward pass instead of stored
+    pre_pool: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..ops.nn import ConvParams, conv_same
 
         parts = list(x) if isinstance(x, (tuple, list)) else [x]
+        if self.pre_pool:
+            parts = [max_pool(p) for p in parts]
         # group adjacent parts to at least 64 channels (one concat per group)
         groups: list = []
         cur: list = []
@@ -77,10 +87,10 @@ class ConvBlockNested(nn.Module):
             x = x + conv_same(g.astype(self.dtype), kp)
             off += g.shape[-1]
         identity = x
-        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=True, dtype=self.dtype, name="conv2")(x)
-        x = FusedBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         return nn.relu(x + identity)
 
 
@@ -101,10 +111,10 @@ class SNUNetECAM(nn.Module):
         # encoder blocks: per-block remat (inputs live on as skip features)
         EncBlock = _block_cls(self.remat)
         self.conv0_0 = EncBlock(f[0], f[0], dt)
-        self.conv1_0 = EncBlock(f[1], f[1], dt)
-        self.conv2_0 = EncBlock(f[2], f[2], dt)
-        self.conv3_0 = EncBlock(f[3], f[3], dt)
-        self.conv4_0 = EncBlock(f[4], f[4], dt)
+        self.conv1_0 = EncBlock(f[1], f[1], dt, pre_pool=True)
+        self.conv2_0 = EncBlock(f[2], f[2], dt, pre_pool=True)
+        self.conv3_0 = EncBlock(f[3], f[3], dt, pre_pool=True)
+        self.conv4_0 = EncBlock(f[4], f[4], dt, pre_pool=True)
         # decoder nodes: plain blocks — columns are checkpointed as a whole
         self.conv0_1 = ConvBlockNested(f[0], f[0], dt)
         self.conv1_1 = ConvBlockNested(f[1], f[1], dt)
@@ -137,15 +147,15 @@ class SNUNetECAM(nn.Module):
 
         # shared-weight encoder on both frames; frame B goes one stage deeper
         x0_0a = self.conv0_0(xa, train)
-        x1_0a = self.conv1_0(max_pool(x0_0a), train)
-        x2_0a = self.conv2_0(max_pool(x1_0a), train)
-        x3_0a = self.conv3_0(max_pool(x2_0a), train)
+        x1_0a = self.conv1_0(x0_0a, train)
+        x2_0a = self.conv2_0(x1_0a, train)
+        x3_0a = self.conv3_0(x2_0a, train)
 
         x0_0b = self.conv0_0(xb, train)
-        x1_0b = self.conv1_0(max_pool(x0_0b), train)
-        x2_0b = self.conv2_0(max_pool(x1_0b), train)
-        x3_0b = self.conv3_0(max_pool(x2_0b), train)
-        x4_0b = self.conv4_0(max_pool(x3_0b), train)
+        x1_0b = self.conv1_0(x0_0b, train)
+        x2_0b = self.conv2_0(x1_0b, train)
+        x3_0b = self.conv3_0(x2_0b, train)
+        x4_0b = self.conv4_0(x3_0b, train)
 
         # decoder columns; closures capture `train` (trace-static)
         def col1(mdl, x0_0a, x0_0b, x1_0a, x1_0b, x2_0a, x2_0b, x3_0a, x3_0b, x4_0b):

@@ -38,6 +38,8 @@ def capture(args, log_dir: str) -> None:
     from kurosiwo_tpu.training.steps import make_train_step
 
     n_dev = len(jax.devices())
+    if args.model == "vit":
+        return _capture_mae(args, log_dir)
     batch = args.batch or (128 * n_dev)
     cfg = build_config(args.model, batch)
     if args.remat:
@@ -78,6 +80,47 @@ def capture(args, log_dir: str) -> None:
     jax.profiler.start_trace(log_dir)
     for _ in range(args.steps):
         state, metric, loss = jit_step(state, device_batch, metric, lr, rng)
+    _ = float(loss)
+    jax.profiler.stop_trace()
+
+
+def _capture_mae(args, log_dir: str) -> None:
+    """Profile the FloodViT MAE pretrain step (mirrors bench.bench_mae)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kurosiwo_tpu.models.factory import build_mae
+    from kurosiwo_tpu.ops import optim
+    from kurosiwo_tpu.parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
+    from kurosiwo_tpu.training.mae import make_mae_train_step
+    from kurosiwo_tpu.training.state import create_train_state
+
+    batch = args.batch or 64
+    cfg = {"num_channels": 6, "mixed_precision": True}
+    mcfg = {"image_size": 224, "patch_size": 16, "dim": 1024, "depth": 24, "heads": 16,
+            "mlp_dim": 2048, "decoder_dim": 512, "decoder_depth": 8, "decoder_heads": 16,
+            "masked_ratio": 0.75}
+    model = build_mae(cfg, mcfg)
+    tx = optim.create_optimizer(cfg, {"learning_rate": 1e-4}, task="mae")
+    plan = create_mesh()
+    rng = jax.random.PRNGKey(0)
+    state, _ = create_train_state(model, tx, rng, (jnp.zeros((2, 224, 224, 6), jnp.float32),))
+    step = jax.jit(
+        make_mae_train_step(model, tx, accum=1),
+        in_shardings=(replicated(plan), batch_sharding(plan), replicated(plan), replicated(plan)),
+        out_shardings=(replicated(plan), replicated(plan)),
+        donate_argnums=(0,),
+    )
+    x = {"image": np.random.RandomState(0).randn(batch, 224, 224, 6).astype(np.float32)}
+    db = shard_batch(plan, x)
+    lr = jnp.asarray(1e-4, jnp.float32)
+    for _ in range(3):
+        state, loss = step(state, db, lr, rng)
+    _ = float(loss)
+    jax.profiler.start_trace(log_dir)
+    for _ in range(args.steps):
+        state, loss = step(state, db, lr, rng)
     _ = float(loss)
     jax.profiler.stop_trace()
 
@@ -129,7 +172,7 @@ def parse_xplane(log_dir: str, top: int, steps: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="unet", choices=["unet", "snunet"])
+    p.add_argument("--model", default="unet", choices=["unet", "snunet", "vit"])
     p.add_argument("--batch", type=int, default=0)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--top", type=int, default=40)
