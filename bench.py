@@ -12,12 +12,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: the UNet train step is a ~2-4 min remote
+# compile on the axon tunnel (SNUNet ~15 min); one warm run amortizes it
+# for every later bench invocation
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")),
+)
 
 BASELINE_PATCHES_PER_SEC = 4000.0
 
