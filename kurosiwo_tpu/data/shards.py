@@ -24,7 +24,6 @@ backscatter magnitudes lose <1e-3 relative precision) — pass
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from pathlib import Path
@@ -36,7 +35,7 @@ from .tiles import RawSample
 _IMG_FIELDS = ("post", "pre1", "pre2")
 
 
-def _field_table(sample: RawSample, img_dtype: str) -> dict:
+def _field_table(sample: RawSample, img_dtype: str) -> tuple[dict, int]:
     fields = {}
     offset = 0
     for name in _IMG_FIELDS:
