@@ -73,3 +73,20 @@ def test_loader_uses_packed_shards(tmp_path):
     for bc, bb in zip(c, b2):
         np.testing.assert_allclose(bc["post"], bb["post"], atol=2e-3, rtol=2e-3)
         break
+
+
+def test_pack_without_dem(tmp_path):
+    """Optional-field layout: a corpus packed with dem=False omits the dem
+    field and reads back with dem=None."""
+    cfg = _cfg(dem=False)
+    loader = Loader("val", cfg, seed=5, synthetic=True,
+                    process_index=0, process_count=1)
+    pack_split(loader, tmp_path / "val", img_dtype="float32", records_per_shard=4)
+    reader = ShardReader(tmp_path / "val")
+    rec = loader.records[0]
+    packed = reader.read(rec.id)
+    direct = loader._read(rec)
+    assert "dem" not in reader.fields
+    assert packed.dem is None
+    np.testing.assert_array_equal(packed.post, direct.post)
+    np.testing.assert_array_equal(packed.mask, direct.mask)
