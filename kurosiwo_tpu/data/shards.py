@@ -167,12 +167,27 @@ class ShardReader:
 
 
 def pack_split(loader, out_dir: str | os.PathLike, img_dtype: str = "float16",
-               records_per_shard: int = 512) -> int:
+               records_per_shard: int = 512, workers: int = 8) -> int:
     """Pack every record a Loader can decode into `out_dir`. Returns the
     number of packed samples. `loader` is a kurosiwo_tpu Loader (its _read
-    does the GeoTIFF/native decode once, here, instead of every epoch)."""
+    does the GeoTIFF/native decode once, here, instead of every epoch).
+
+    Decodes run on a thread pool (IO/GIL-releasing tile reads) while the
+    single writer thread appends in deterministic record order — shard
+    layout is identical to a serial pack."""
+    from concurrent.futures import ThreadPoolExecutor
+
     w = ShardWriter(out_dir, img_dtype=img_dtype, records_per_shard=records_per_shard)
-    for rec in loader.records:
-        w.add(rec.id, loader._read(rec))
+    if workers <= 1:
+        for rec in loader.records:
+            w.add(rec.id, loader._read(rec))
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            # chunked so pending futures/results stay bounded on huge corpora
+            chunk = 1024
+            for i in range(0, len(loader.records), chunk):
+                block = loader.records[i : i + chunk]
+                for rec, sample in zip(block, pool.map(loader._read, block)):
+                    w.add(rec.id, sample)
     w.close()
     return len(w.keys)
