@@ -763,6 +763,35 @@ def load_pretrained_upernet(model_name: str, num_channels: int, num_classes: int
     return convert_upernet(sd)
 
 
+def convert_smp_unet(sd: dict[str, np.ndarray]) -> dict:
+    """smp.Unet full checkpoint (the reference's resume format for
+    `--method=unet`, `/root/reference/models/model_utilities.py:174-177`:
+    `torch.load(...)` of an smp.Unet with a resnet encoder) -> UNet
+    variables.
+
+    smp schema: `encoder.*` is a torchvision resnet; each decoder block is
+    two Conv2dReLU stages (`decoder.blocks.{i}.conv{1,2}.0` conv /
+    `.1` batchnorm) whose conv1 input is cat(upsampled, skip) — matching
+    this UNet's DecoderBlock channel order — and `segmentation_head.0` is
+    the 3x3 classifier. NOTE: segmentation_models_pytorch is not installed
+    in this environment, so unlike the other converters this one is covered
+    by a structural round-trip test (tests/test_convert_parity.py) rather
+    than a live-oracle parity test; the schema follows smp 0.3.x."""
+    enc = convert_torchvision_resnet(sd, prefix="encoder.")
+    params: dict = {"encoder": enc["params"]}
+    bstats: dict = {"encoder": enc["batch_stats"]}
+    i = 0
+    while f"decoder.blocks.{i}.conv1.0.weight" in sd:
+        blk = (f"DecoderBlock_{i}",)
+        for ci, name in ((1, "ConvBNAct_0"), (2, "ConvBNAct_1")):
+            _convert_conv(params, blk + (name, "Conv_0"), sd, f"decoder.blocks.{i}.conv{ci}.0")
+            _convert_bn(params, bstats, blk + (name, "BatchNorm_0"), sd,
+                        f"decoder.blocks.{i}.conv{ci}.1")
+        i += 1
+    _convert_conv(params, ("head",), sd, "segmentation_head.0")
+    return {"params": params, "batch_stats": bstats}
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "snunet": convert_snunet,
     "floodvit": convert_floodvit,
@@ -777,6 +806,7 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "hfa-net": convert_hfanet,
     "adhr-cdnet": convert_adhr,
     "upernet": convert_upernet,
+    "unet": convert_smp_unet,
 }
 
 

@@ -468,3 +468,72 @@ def test_upernet_swin_parity(torch):
         jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-3)
+
+
+def test_smp_unet_converter_structural(torch):
+    """smp.Unet checkpoint conversion — structural round trip.
+
+    segmentation_models_pytorch is not installed in this image, so unlike
+    the live-oracle tests above this builds a synthetic state dict with the
+    exact smp 0.3.x key schema/shapes, converts, and requires (a) every
+    model variable to be covered with matching shapes and (b) a live
+    forward pass. Kernel-transpose rules are shared with the live-oracle
+    converters (conv_kernel/_convert_bn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.convert import convert_smp_unet
+    from kurosiwo_tpu.models.unet import UNet
+
+    rs = np.random.RandomState(11)
+    sd = {}
+
+    def conv(key, cout, cin, k=3, bias=False):
+        sd[f"{key}.weight"] = rs.randn(cout, cin, k, k).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{key}.bias"] = rs.randn(cout).astype(np.float32) * 0.05
+
+    def bn(key, c):
+        sd[f"{key}.weight"] = rs.rand(c).astype(np.float32) + 0.5
+        sd[f"{key}.bias"] = rs.randn(c).astype(np.float32) * 0.05
+        sd[f"{key}.running_mean"] = rs.randn(c).astype(np.float32) * 0.05
+        sd[f"{key}.running_var"] = rs.rand(c).astype(np.float32) + 0.5
+
+    # encoder: torchvision resnet18 with 6 input channels
+    conv("encoder.conv1", 64, 6, 7)
+    bn("encoder.bn1", 64)
+    widths = {1: 64, 2: 128, 3: 256, 4: 512}
+    for s in (1, 2, 3, 4):
+        for i in (0, 1):
+            cin = widths[s] if (i == 1 or s == 1) else widths[s - 1]
+            conv(f"encoder.layer{s}.{i}.conv1", widths[s], cin)
+            bn(f"encoder.layer{s}.{i}.bn1", widths[s])
+            conv(f"encoder.layer{s}.{i}.conv2", widths[s], widths[s])
+            bn(f"encoder.layer{s}.{i}.bn2", widths[s])
+            if s > 1 and i == 0:
+                conv(f"encoder.layer{s}.{i}.downsample.0", widths[s], widths[s - 1], 1)
+                bn(f"encoder.layer{s}.{i}.downsample.1", widths[s])
+    # decoder: smp default channels, conv1 over cat(up, skip)
+    dec = [(512 + 256, 256), (256 + 128, 128), (128 + 64, 64), (64 + 64, 32), (32, 16)]
+    for i, (cin, cout) in enumerate(dec):
+        conv(f"decoder.blocks.{i}.conv1.0", cout, cin)
+        bn(f"decoder.blocks.{i}.conv1.1", cout)
+        conv(f"decoder.blocks.{i}.conv2.0", cout, cout)
+        bn(f"decoder.blocks.{i}.conv2.1", cout)
+    conv("segmentation_head.0", 3, 16, 3, bias=True)
+
+    variables = convert_smp_unet(sd)
+    model = UNet(num_classes=3, backbone="resnet18", dtype=jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False)
+    # full coverage with matching shapes, both collections
+    for coll in ("params", "batch_stats"):
+        a = jax.tree_util.tree_leaves_with_path(ref[coll])
+        b = jax.tree_util.tree_leaves_with_path(variables[coll])
+        pa = {jax.tree_util.keystr(k): v.shape for k, v in a}
+        pb = {jax.tree_util.keystr(k): np.shape(v) for k, v in b}
+        assert pa == pb, set(pa.items()) ^ set(pb.items())
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(rs.randn(1, 64, 64, 6).astype(np.float32)), train=False,
+    )
+    assert np.isfinite(np.asarray(out)).all() and out.shape == (1, 64, 64, 3)
