@@ -176,14 +176,18 @@ def _partitioned_pair_sums(ndim: int, interpret: bool):
 
 def pair_sums(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
     """Per-channel (sum(a), sum(a*b)) over all leading axes; channel = last
-    axis. f32 accumulation. Kernel or XLA reduces per `_use_pallas`; on a
-    single device the custom_partitioning wrapper is bypassed entirely (it
-    only exists to shard the call on >1-device meshes).
+    axis. f32 accumulation. Kernel or XLA reduces per `_use_pallas`.
+
+    The custom_partitioning wrapper is used ONLY when the opaque Pallas
+    kernel must be sharded over a >1-device mesh (or interpret-mode tests
+    exercise the rule): plain XLA reduces partition natively under GSPMD,
+    and the wrapper's custom-call boundary measurably fences fusion.
 
     Deliberately NOT wrapped in jax.jit: an inner jit lowers to a separate
     XLA computation whose call boundary forces operands into default
     layouts — every conv output would be relayout-copied before its BN."""
-    if len(jax.devices()) == 1:
+    kernel_path = interpret or _use_pallas()
+    if len(jax.devices()) == 1 or not kernel_path:
         return _pair_sums_local(a, b, interpret)
     return _partitioned_pair_sums(a.ndim, interpret)(a, b)
 
