@@ -28,8 +28,16 @@ def initialize_segmentation_model(config: dict, model_config: dict):
     if config.get("task") == "diffusion-unsup":
         from .diffusion import DDPMUnet, GaussianDiffusion
 
-        unet = DDPMUnet(dim=64, dim_mults=(1, 2, 4, 8), channels=2, dtype=dt)
-        return GaussianDiffusion(model=unet, timesteps=1000, loss_type="l1")
+        mc = model_config or {}
+        unet = DDPMUnet(
+            dim=int(mc.get("dim", 64)),
+            dim_mults=tuple(mc.get("dim_mults", (1, 2, 4, 8))),
+            channels=2,
+            dtype=dt,
+        )
+        return GaussianDiffusion(
+            model=unet, timesteps=int(mc.get("timesteps", 1000)), loss_type="l1"
+        )
     if method == "unet":
         from .unet import UNet
 

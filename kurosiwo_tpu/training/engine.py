@@ -181,6 +181,26 @@ class TaskEngine:
                 batch_stats=variables.get("batch_stats") or self.state.batch_stats,
                 opt_state=self.state.opt_state,
             )
+        elif cfg.get("pretrained") or cfg.get("encoder_weights"):
+            # The reference DEFAULTS these methods to ImageNet-pretrained
+            # encoders (model_utilities.py:110-157 passes
+            # encoder_weights="imagenet" to smp; upernet.py:28-77 pulls HF hub
+            # weights). Without weights the convergence behavior differs
+            # materially from the reference — make the gap loud.
+            import warnings
+
+            warnings.warn(
+                f"config requests pretrained weights (pretrained="
+                f"{cfg.get('pretrained')!r}, encoder_weights="
+                f"{cfg.get('encoder_weights')!r}) for method "
+                f"{cfg.get('method')!r} but no weight source is set — "
+                "training starts from RANDOM init, unlike the reference "
+                "default. Supply 'pretrained_encoder' (torchvision resnet "
+                ".pth), 'pretrained_checkpoint' (reference .pt), or "
+                "'pretrained_upernet' (HF name/path); see README "
+                "'Pretrained weights' for the one-command graft.",
+                stacklevel=2,
+            )
 
     def run_train_epoch(self, loader: Loader, epoch: int) -> dict:
         cfg = self.config

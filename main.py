@@ -59,12 +59,22 @@ def main(argv=None):
     configs["checkpoint_path"] = create_checkpoint_directory(configs, model_configs)
     pprint.pprint({k: v for k, v in configs.items() if k != "model_config"})
 
+    task = configs["task"]
+    if task == "diffusion-unsup":
+        # unsupervised: the engine builds its own per-observation train loader
+        # (no val/test splits exist for this task; reference never dispatched
+        # it at all — models/model_utilities.py:98-108 builds the model,
+        # main.py lacks the branch)
+        from kurosiwo_tpu.training.diffusion import train as train_diffusion
+
+        train_diffusion(configs, model_configs=model_configs, seed=args.seed)
+        return
+
     train_loader, val_loader, test_loader = prepare_loaders(configs, seed=args.seed)
     print("Samples in Train Set: ", train_loader.num_samples())
     print("Samples in Val Set: ", val_loader.num_samples())
     print("Samples in Test Set: ", test_loader.num_samples())
 
-    task = configs["task"]
     if task == "segmentation" and configs["method"] == "convlstm":
         from kurosiwo_tpu.training.recurrent import (
             eval_recurrent_segmentation,

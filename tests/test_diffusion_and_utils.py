@@ -83,3 +83,30 @@ def test_model_stats():
     params = {"a": jnp.zeros((4, 4)), "b": {"c": jnp.zeros((2,))}}
     s = model_stats(params)
     assert s["num_params"] == 18
+
+
+def test_diffusion_cli_dispatch(monkeypatch, tmp_path):
+    """`python main.py --method diffusion` reaches the diffusion engine.
+
+    The reference advertises diffusion-unsup (model built at
+    models/model_utilities.py:98-108) but its main.py never dispatches the
+    task; ours does. The trainer itself is covered by
+    test_diffusion_training_e2e — here we assert only the CLI wiring."""
+    import os
+
+    import main as cli
+
+    calls = {}
+
+    def fake_train(configs, model_configs=None, seed=999, max_steps=None):
+        calls["task"] = configs["task"]
+        calls["method"] = configs["method"]
+        calls["seed"] = seed
+
+    import kurosiwo_tpu.training.diffusion as dtrain
+
+    monkeypatch.setattr(dtrain, "train", fake_train)
+    repo_configs = os.path.join(os.path.dirname(cli.__file__), "configs")
+    monkeypatch.chdir(tmp_path)  # checkpoint dir lands under tmp
+    cli.main(["--method", "diffusion", "--config_root", repo_configs, "--seed", "7"])
+    assert calls == {"task": "diffusion-unsup", "method": "diffusion", "seed": 7}
