@@ -210,12 +210,14 @@ class TaskEngine:
         lr_value = float(self.lr_schedule(epoch))
         t0 = time.time()
         nbatches = 0
+        losses = []  # device scalars; fetched once at epoch end (no step sync)
         for index, device_batch in enumerate(device_prefetch(loader, self.plan)):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metric_state, aux = self._train_step(
                 self.state, device_batch, metric_state, jnp.asarray(lr_value, jnp.float32), step_rng
             )
             loss, grad_norm = aux if self.with_grad_norm else (aux, None)
+            losses.append(loss)
             nbatches += 1
             if index % int(cfg.get("print_frequency", 10)) == 0:
                 # per-iteration metric snapshot from the cumulative device bank
@@ -231,6 +233,7 @@ class TaskEngine:
         summary = metric_state.summarize()
         summary["epoch_time_s"] = time.time() - t0
         summary["batches"] = nbatches
+        summary["mean_loss"] = float(np.mean([float(l) for l in losses])) if losses else float("nan")
         return summary
 
     def run_eval(self, loader: Loader, settype: str = "Val") -> tuple[float, float, float, dict]:

@@ -59,8 +59,13 @@ def make_mae_train_step(model, tx, accum: int):
     return train_step
 
 
-def train(configs: dict, seed: int = 999, model_configs: dict | None = None, max_steps: int | None = None):
-    """Entry mirroring training.train_mae.train(configs)."""
+def train(configs: dict, seed: int = 999, model_configs: dict | None = None, max_steps: int | None = None,
+          record_losses: list | None = None):
+    """Entry mirroring training.train_mae.train(configs).
+
+    `record_losses`: optional list the per-step loss floats are appended to
+    (used by the learning-assertion tests; None in production = no host sync
+    beyond print_frequency)."""
     if model_configs is None:
         model_configs = load_json5("configs/method/mae/mae.json")
     configs = {**configs, **model_configs}
@@ -101,6 +106,8 @@ def train(configs: dict, seed: int = 999, model_configs: dict | None = None, max
             rng, step_rng = jax.random.split(rng)
             state, loss = step_fn(state, shard_batch(plan, batch), jnp.asarray(lr_value, jnp.float32), step_rng)
             total_steps += 1
+            if record_losses is not None:
+                record_losses.append(float(loss))
             if idx % int(configs.get("print_frequency", 10)) == 0:
                 print(f"MAE epoch {epoch} iter {idx}: loss={float(loss):.5f} lr={lr_value:.3e}")
             if max_steps is not None and total_steps >= max_steps:
