@@ -172,6 +172,22 @@ class MetricState:
             count=self.count + batch_weight,
         )
 
+    def update_from_cm(
+        self,
+        cm: jnp.ndarray,
+        loss: jnp.ndarray,
+        batch_weight: jnp.ndarray | float = 1.0,
+    ) -> "MetricState":
+        """Accumulate a precomputed (C,C) confusion matrix (e.g. from the
+        fused Pallas tail, ops/pallas_tail.py) — f32 counts are exact below
+        2^24 per batch."""
+        return MetricState(
+            cm=self.cm + cm.astype(jnp.int32),
+            zones=self.zones,
+            loss_sum=self.loss_sum + loss * batch_weight,
+            count=self.count + batch_weight,
+        )
+
     def reduce(self, axis_name: str) -> "MetricState":
         return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), self)
 

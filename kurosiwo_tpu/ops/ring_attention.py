@@ -29,14 +29,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def ring_attention_p(q, k, v, axis_name: str, scale: float | None = None):
-    """Per-device body (inside shard_map): q/k/v are the LOCAL sequence
-    shards (B, H, n, D). Returns the local (B, H, n, D) output shard."""
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    p = jax.lax.psum(1, axis_name)
-    my = jax.lax.axis_index(axis_name)
+def _rotate(x, axis_name, p):
+    perm = [(j, (j + 1) % p) for j in range(p)]
+    return jax.lax.ppermute(x, axis_name, perm)
 
+
+def _ring_impl(q, k, v, axis_name: str, scale: float):
+    """Forward online-softmax ring pass. Returns (out, lse) where lse is the
+    per-query log-sum-exp (B, H, n, 1) — the flash-attention residual that
+    makes the O(n_local)-memory backward pass possible."""
+    p = jax.lax.psum(1, axis_name)
     qf = q.astype(jnp.float32) * scale
 
     def block(qf, kb, vb):
@@ -55,10 +57,10 @@ def ring_attention_p(q, k, v, axis_name: str, scale: float | None = None):
         b = jnp.exp(m_blk - m_new)
         acc = acc * a + o_blk * b
         l_new = l_run * a + l_blk * b
-        # rotate k/v to the next device in the ring (skipped after last use)
-        perm = [(j, (j + 1) % p) for j in range(p)]
-        kb = jax.lax.ppermute(kb, axis_name, perm)
-        vb = jax.lax.ppermute(vb, axis_name, perm)
+        # rotate k/v to the next device in the ring; after p steps each block
+        # is back on its home device
+        kb = _rotate(kb, axis_name, p)
+        vb = _rotate(vb, axis_name, p)
         return acc, m_new, l_new, kb, vb
 
     # carries derived from qf so they carry the same device-varying type
@@ -68,7 +70,69 @@ def ring_attention_p(q, k, v, axis_name: str, scale: float | None = None):
     m0 = qf[..., :1] * 0.0 - 1e30
     l0 = qf[..., :1] * 0.0
     acc, m_run, l_run, _, _ = jax.lax.fori_loop(0, p, step, (acc0, m0, l0, k, v))
-    return (acc / jnp.maximum(l_run, 1e-30)).astype(q.dtype)
+    l_safe = jnp.maximum(l_run, 1e-30)
+    out = (acc / l_safe).astype(q.dtype)
+    lse = m_run + jnp.log(l_safe)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ring_p(q, k, v, axis_name: str, scale: float):
+    return _ring_impl(q, k, v, axis_name, scale)[0]
+
+
+def _ring_p_fwd(q, k, v, axis_name, scale):
+    out, lse = _ring_impl(q, k, v, axis_name, scale)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_p_bwd(axis_name, scale, res, do):
+    """Second ring pass (flash-attention backward): probabilities are
+    recomputed from the saved log-sum-exp, and each k/v block's gradient
+    rotates along with the block so it arrives home after p steps. Residual
+    memory is O(n_local) per device — autodiff through the forward loop
+    would instead save every rotated k/v block (O(N) per device, defeating
+    context parallelism for training)."""
+    q, k, v, o, lse = res
+    p = jax.lax.psum(1, axis_name)
+    qf = q.astype(jnp.float32) * scale
+    dof = do.astype(jnp.float32)
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def step(i, carry):
+        dq, dkb, dvb, kb, vb = carry
+        kf = kb.astype(jnp.float32)
+        vf = vb.astype(jnp.float32)
+        s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+        pij = jnp.exp(s - lse)
+        dvb = dvb + jnp.einsum("bhnm,bhnd->bhmd", pij, dof)
+        dp = jnp.einsum("bhnd,bhmd->bhnm", dof, vf)
+        ds = pij * (dp - delta)
+        dq = dq + jnp.einsum("bhnm,bhmd->bhnd", ds, kf) * scale
+        dkb = dkb + jnp.einsum("bhnm,bhnd->bhmd", ds, qf)  # qf carries scale
+        dkb = _rotate(dkb, axis_name, p)
+        dvb = _rotate(dvb, axis_name, p)
+        kb = _rotate(kb, axis_name, p)
+        vb = _rotate(vb, axis_name, p)
+        return dq, dkb, dvb, kb, vb
+
+    dq0 = jnp.zeros_like(qf)
+    dk0 = jnp.zeros(k.shape, jnp.float32) + qf[..., :1, :1] * 0.0  # device-varying zero
+    dv0 = jnp.zeros(v.shape, jnp.float32) + qf[..., :1, :1] * 0.0
+    dq, dk, dv, _, _ = jax.lax.fori_loop(0, p, step, (dq0, dk0, dv0, k, v))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_p.defvjp(_ring_p_fwd, _ring_p_bwd)
+
+
+def ring_attention_p(q, k, v, axis_name: str, scale: float | None = None):
+    """Per-device body (inside shard_map): q/k/v are the LOCAL sequence
+    shards (B, H, n, D). Returns the local (B, H, n, D) output shard.
+    Differentiable with O(n_local) residuals (custom two-pass ring vjp)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _ring_p(q, k, v, axis_name, scale)
 
 
 def ring_attention(

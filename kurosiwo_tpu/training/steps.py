@@ -137,6 +137,28 @@ def make_train_step(
     # config["remat"] there); the whole-forward wrap would force a full
     # recompute and negate the block-level savings.
     use_remat = bool(config.get("remat")) and config.get("method") != "snunet"
+    # fused Pallas loss/metrics tail (ops/pallas_tail.py): one pass for the
+    # weighted CE + confusion matrix, replacing the one-hot formulations.
+    # Auto-on for TPU when the step is the plain-CE 3-class shape; config key
+    # "fused_tail" forces it on (interpret-mode on CPU, for tests) or off.
+    fused_flag = config.get("fused_tail")
+    fused_eligible = (
+        config.get("loss_function", "cross_entropy") == "cross_entropy"
+        and int(config.get("num_classes", 3)) == 3
+        and not use_multiscale_loss
+        and not config.get("log_zone_metrics")
+        # single device only: under GSPMD an unpartitioned pallas_call would
+        # force logits all-gathers; multi-chip keeps the XLA tail (its ~2 ms
+        # is noise next to pod-scale collectives)
+        and jax.device_count() == 1
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused_tail = fused_eligible and (fused_flag if fused_flag is not None else on_tpu)
+    fused_interpret = not on_tpu
+    if use_fused_tail:
+        # train-mode CE weights (create_loss mode="train" semantics: the
+        # weighted/unweighted choice is already folded into class_weights)
+        fused_cw = jnp.asarray(config.get("class_weights", [1.0, 1.0, 1.0]), jnp.float32)
 
     def train_step(state: TrainState, batch: dict, metric_state: MetricState, lr, rng):
         if use_augment:
@@ -158,6 +180,11 @@ def make_train_step(
                 fwd = jax.checkpoint(fwd, policy=jax.checkpoint_policies.nothing_saveable)
             out, new_bs = fwd(params, *model_inputs)
             logits, all_heads = _combine_multiscale(out, config, model_config, True)
+            if use_fused_tail:
+                from ..ops.pallas_tail import fused_ce_cm
+
+                loss, cm = fused_ce_cm(logits, mask, fused_cw, fused_interpret)
+                return loss, (cm, new_bs)
             if use_multiscale_loss and all_heads is not None and multi_weights is not None:
                 h, w = mask.shape[1:3]
                 loss = 0.0
@@ -171,15 +198,19 @@ def make_train_step(
                 loss = criterion(logits, mask)
             return loss, (logits, new_bs)
 
-        (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (aux_out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         opt_state = inject_lr(state.opt_state, lr)
         updates, new_opt = tx.update(grads, opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        preds = jnp.argmax(logits, axis=-1)
         bsz = jnp.asarray(mask.shape[0], jnp.float32)
-        metric_state = metric_state.update(
-            preds, mask, loss, bsz, clz=batch.get("clz") if config.get("log_zone_metrics") else None
-        )
+        if use_fused_tail:
+            metric_state = metric_state.update_from_cm(aux_out, loss, bsz)
+        else:
+            preds = jnp.argmax(aux_out, axis=-1)
+            metric_state = metric_state.update(
+                preds, mask, loss, bsz,
+                clz=batch.get("clz") if config.get("log_zone_metrics") else None,
+            )
         new_state = TrainState(
             step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )

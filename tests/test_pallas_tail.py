@@ -1,0 +1,135 @@
+"""Parity: fused Pallas CE+confusion-matrix tail vs the XLA formulations
+(ops/losses.cross_entropy_loss, ops/metrics.confusion_matrix) — loss value,
+cm counts, and gradients. Reference semantics being reproduced:
+utilities/utilities.py:307-347 (weighted CE, ignore_index=3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kurosiwo_tpu.ops.losses import cross_entropy_loss
+from kurosiwo_tpu.ops.metrics import confusion_matrix
+from kurosiwo_tpu.ops.pallas_tail import fused_ce_cm
+
+CW = [0.3715753140309927, 14.009780283125977, 8.20405370357821]
+
+
+def _data(b=2, h=64, w=64, dtype=jnp.float32, seed=0):
+    rng = np.random.RandomState(seed)
+    logits = jnp.asarray(rng.randn(b, h, w, 3), dtype)
+    labels = jnp.asarray(rng.randint(0, 4, size=(b, h, w)), jnp.int32)
+    return logits, labels
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("weighted", [True, False])
+def test_loss_and_cm_parity(dtype, weighted):
+    logits, labels = _data(dtype=dtype)
+    cw = jnp.asarray(CW if weighted else [1.0, 1.0, 1.0], jnp.float32)
+    loss, cm = fused_ce_cm(logits, labels, cw, True)
+    ref_loss = cross_entropy_loss(logits, labels, cw)
+    ref_cm = confusion_matrix(jnp.argmax(logits, axis=-1), labels)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cm, np.int64), np.asarray(ref_cm, np.int64))
+
+
+def test_padding_path():
+    # B*H*W not divisible by the 512*128 block: exercises ignore-padding
+    logits, labels = _data(b=1, h=48, w=40)
+    loss, cm = fused_ce_cm(logits, labels, jnp.asarray(CW), True)
+    ref_loss = cross_entropy_loss(logits, labels, jnp.asarray(CW))
+    ref_cm = confusion_matrix(jnp.argmax(logits, axis=-1), labels)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cm, np.int64), np.asarray(ref_cm, np.int64))
+
+
+def test_all_ignored():
+    logits, _ = _data(b=1, h=64, w=64)
+    labels = jnp.full((1, 64, 64), 3, jnp.int32)
+    loss, cm = fused_ce_cm(logits, labels, jnp.asarray(CW), True)
+    assert float(loss) == 0.0
+    assert int(np.asarray(cm).sum()) == 0
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_grad_parity(dtype):
+    logits, labels = _data(dtype=dtype, seed=3)
+    cw = jnp.asarray(CW, jnp.float32)
+
+    g_fused = jax.grad(lambda l: fused_ce_cm(l, labels, cw, True)[0] * 3.0)(logits)
+    g_ref = jax.grad(lambda l: cross_entropy_loss(l, labels, cw) * 3.0)(logits)
+    tol = 1e-6 if dtype == jnp.float32 else 2e-3
+    np.testing.assert_allclose(
+        np.asarray(g_fused, np.float32), np.asarray(g_ref, np.float32), atol=tol
+    )
+
+
+def test_argmax_tie_semantics():
+    # equal logits: argmax picks the first class; cm must agree
+    logits = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 4, (1, 64, 64)), jnp.int32)
+    _, cm = fused_ce_cm(logits, labels, jnp.ones((3,)), True)
+    ref_cm = confusion_matrix(jnp.argmax(logits, axis=-1), labels)
+    np.testing.assert_array_equal(np.asarray(cm, np.int64), np.asarray(ref_cm, np.int64))
+
+
+def test_train_step_fused_vs_xla_tail():
+    """The fused tail wired through make_train_step produces the same loss,
+    confusion matrix, and parameter update as the XLA tail (single device,
+    plain jit — no mesh)."""
+    import flax.linen as nn
+    import optax
+
+    from kurosiwo_tpu.ops import optim
+    from kurosiwo_tpu.ops.losses import create_loss
+    from kurosiwo_tpu.ops.metrics import MetricState
+    from kurosiwo_tpu.training.state import create_train_state
+    from kurosiwo_tpu.training.steps import make_train_step
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return nn.Conv(3, (3, 3))(x)
+
+    cfg = {
+        "task": "segmentation", "method": "tiny", "num_classes": 3,
+        "inputs": ["post_event"], "channels": ["vv", "vh"],
+        "class_weights": CW, "weighted": True, "loss_function": "cross_entropy",
+        "batch_size": 2, "optimizer": "adam", "learning_rate": 1e-3,
+    }
+    model = Tiny()
+    tx = optim.create_optimizer(cfg, {"learning_rate": 1e-3}, "segmentation")
+    criterion = create_loss(cfg, mode="train")
+    rng = np.random.RandomState(0)
+    batch = {
+        "post": jnp.asarray(rng.randn(2, 64, 64, 2), jnp.float32),
+        "mask": jnp.asarray(rng.randint(0, 4, (2, 64, 64)), jnp.int32),
+    }
+    results = {}
+    for fused in (True, False):
+        c = dict(cfg, fused_tail=fused)
+        state, _ = create_train_state(model, tx, jax.random.PRNGKey(0), (batch["post"],))
+        step = make_train_step(model, tx, criterion, c, {}, "segmentation")
+        if fused:
+            # eligibility requires 1 device; tests run on the virtual 8-device
+            # mesh, so pin to plain single-device jit via the explicit flag +
+            # monkeypatched count
+            import kurosiwo_tpu.training.steps as steps_mod
+            real = jax.device_count
+            jax.device_count = lambda *a, **k: 1
+            try:
+                step = make_train_step(model, tx, criterion, c, {}, "segmentation")
+            finally:
+                jax.device_count = real
+        ms = MetricState.create()
+        new_state, ms, loss = jax.jit(step)(
+            state, batch, ms, jnp.asarray(1e-3, jnp.float32), jax.random.PRNGKey(1)
+        )
+        results[fused] = (float(loss), np.asarray(ms.cm), new_state.params)
+    lf, cmf, pf = results[True]
+    lr_, cmr, pr = results[False]
+    np.testing.assert_allclose(lf, lr_, rtol=2e-5)
+    np.testing.assert_array_equal(cmf, cmr)
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

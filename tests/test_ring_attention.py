@@ -62,3 +62,38 @@ def test_ring_gradients_flow():
     gf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b, n in zip(gr, gf, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=n)
+
+
+def test_ring_gradient_parity_8dev_custom_vjp():
+    """Training-mode contract (SURVEY §5.7): jax.grad through ring_attention
+    on the full 8-device mesh matches single-device attention grads at f32
+    tolerance. The custom two-pass vjp keeps residuals O(n_local) — autodiff
+    through the forward loop would store every rotated k/v block."""
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("seq",))
+    rs = np.random.RandomState(5)
+    B, H, N, D = 2, 2, 64, 16
+    q, k, v = (jnp.asarray(rs.randn(B, H, N, D), jnp.float32) for _ in range(3))
+    t = jnp.asarray(rs.randn(B, H, N, D), jnp.float32)
+
+    def loss_ring(q, k, v):
+        return jnp.sum((ring_attention(q, k, v, mesh, "seq") - t) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_ref(q, k, v, D**-0.5) - t) ** 2)
+
+    gr = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    gf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(gr, gf, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, err_msg=n)
+
+
+def test_ring_bf16_grads_finite():
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    rs = np.random.RandomState(6)
+    B, H, N, D = 1, 2, 32, 8
+    q, k, v = (jnp.asarray(rs.randn(B, H, N, D), jnp.bfloat16) for _ in range(3))
+    g = jax.grad(lambda q, k, v: jnp.sum(ring_attention(q, k, v, mesh, "seq").astype(jnp.float32)),
+                 argnums=(0, 1, 2))(q, k, v)
+    for a in g:
+        assert a.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(a, np.float32)).all()
