@@ -792,7 +792,29 @@ def convert_smp_unet(sd: dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": bstats}
 
 
+def convert_finetune(sd: dict[str, np.ndarray]) -> dict:
+    """FinetunerSegmentation state_dict (model_utilities.py:50-94) -> flax.
+
+    `model.*` is the FloodViT encoder (mlp_head replaced by Identity before
+    saving); `head.*` is one of: Sequential of two 1x1 convs (mlp), the
+    3-deconv Decoder, or a single 1x1 conv (linear)."""
+    enc_sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    params: dict = {"encoder": convert_floodvit(enc_sd)["params"]}
+    if "head.0.weight" in sd:  # mlp head: Conv1x1 -> ReLU -> Conv1x1
+        _convert_conv(params, ("head_fc1",), sd, "head.0")
+        _convert_conv(params, ("head_fc2",), sd, "head.2")
+    elif "head.deconv1.weight" in sd:  # deconv Decoder head
+        for d in ("deconv1", "deconv2", "deconv3"):
+            _convert_tconv(params, ("head", d), sd, f"head.{d}")
+    elif "head.weight" in sd:  # linear (single 1x1 conv) head
+        _convert_conv(params, ("head_fc",), sd, "head")
+    else:
+        raise KeyError("unrecognized finetune head layout in state_dict")
+    return {"params": params}
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
+    "finetune": convert_finetune,
     "snunet": convert_snunet,
     "floodvit": convert_floodvit,
     "vit": convert_floodvit,

@@ -105,7 +105,11 @@ def derive(cm: np.ndarray | jnp.ndarray) -> dict[str, Any]:
     union = support + predicted - tp
 
     def safe(n, d):
-        return np.where(d > 0, n / np.maximum(d, 1), 0.0)
+        # guard div-by-zero WITHOUT clamping the denominator magnitude:
+        # f1's denominator (precision+recall) is a rate < 1 routinely, and
+        # np.maximum(d, 1) silently deflated every F1 below ~50 (bug caught
+        # by the parity round-trip test, round 3)
+        return np.where(d > 0, n / np.where(d > 0, d, 1.0), 0.0)
 
     recall = safe(tp, support)
     precision = safe(tp, predicted)

@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--expected-iou", type=float, default=None)
     p.add_argument("--tolerance", type=float, default=0.5, help="max |delta| in points (BASELINE north star)")
     p.add_argument("--seed", type=int, default=999)
+    p.add_argument(
+        "--override", default=None,
+        help="JSON dict merged into the config (e.g. '{\"synthetic_size\": 8, \"dim\": 64}')",
+    )
     return p
 
 
@@ -67,6 +71,8 @@ def run(args) -> dict:
     overrides = {"task": task, "batch_size": args.batch_size, **extra}
     if args.root:
         overrides["root_path"] = args.root
+    if args.override:
+        overrides.update(json.loads(args.override))
     configs = load_config(method=args.model, config_root=args.config_root, overrides=overrides)
     mcfg = configs["model_config"]
     # f32 eval twin like the reference's autocast-off eval

@@ -67,3 +67,18 @@ def test_aoi_host_bank():
     out = bank.summarize()
     assert set(out.keys()) == {130, 470}
     assert out[130]["support"].sum() == 25
+
+
+def test_derive_f1_low_precision_recall_regime():
+    """Regression (round 3): derive()'s zero-guard used np.maximum(d, 1) which
+    silently deflated F1 whenever precision+recall < 1 (caught by the parity
+    round-trip test). f1 = 2pr/(p+r) must hold at small p, r."""
+    from kurosiwo_tpu.ops.metrics import derive
+
+    cm = np.zeros((4, 4), np.int64)
+    cm[0, 0], cm[0, 1] = 2, 8   # class0: tp=2, support=10
+    cm[1, 0], cm[1, 1] = 8, 2   # class1: tp=2, support=10; predicted0=10, predicted1=10
+    out = derive(cm)
+    # p = r = 0.2 -> f1 = 2*0.2*0.2/0.4 = 0.2 (the old clamp gave 0.08)
+    np.testing.assert_allclose(out["fscore"][0], 0.2, rtol=1e-12)
+    np.testing.assert_allclose(out["fscore"][1], 0.2, rtol=1e-12)

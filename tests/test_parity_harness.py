@@ -111,3 +111,174 @@ def test_engine_pretrained_encoder(tmp_path):
         engine.state.params["encoder"]["layer1_0"]["ConvBNAct_0"]["Conv_0"]["kernel"]
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def _torch_oracle_f1(torch_model, test_loader, assemble, two_input):
+    """Reference-side eval: same loader, same split, mean F1 over classes 0-2."""
+    import torch
+
+    cm = np.zeros((4, 4), np.int64)
+    with torch.no_grad():
+        for batch in test_loader:
+            inp = assemble(batch)
+            if two_input:
+                out = torch_model(*[torch.from_numpy(x) for x in inp])
+            else:
+                out = torch_model(torch.from_numpy(inp))
+            preds = out.argmax(dim=1).numpy()
+            mask = np.asarray(batch["mask"]).copy()
+            sw = np.asarray(batch.get("sample_weight"))
+            if sw is not None:
+                mask[sw <= 0] = 3  # eval padding samples are excluded
+            valid = mask != 3
+            np.add.at(cm, (mask[valid], preds[valid]), 1)
+    tp = np.diag(cm)[:3]
+    fp = cm[:, :3].sum(axis=0)[:3] - tp
+    fn = cm[:3, :].sum(axis=1) - tp
+    f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1e-12)
+    return 100.0 * f1.mean()
+
+
+def test_parity_roundtrip_snunet_oracle_f1(tmp_path):
+    """Full launch-readiness round trip (VERDICT r2 item 10): a reference-
+    format whole-module best_segmentation.pt -> `python -m kurosiwo_tpu.parity`
+    -> F1 delta vs the torch oracle evaluated on the SAME synthetic test split
+    is within the +-0.5-point BASELINE tolerance."""
+    import json as _json
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location("ref_snunet_rt", REF / "models/snunet.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_snunet_rt"] = mod
+    spec.loader.exec_module(mod)
+    tm = mod.SNUNet_ECAM(in_channels=2, out_ch=3, base_channel=32)
+
+    override = {"synthetic_size": 8, "synthetic_patch_size": 112, "mixed_precision": False}
+
+    from kurosiwo_tpu.config import load_config
+    from kurosiwo_tpu.data.pipeline import prepare_loaders
+
+    cfg = load_config(
+        method="snunet",
+        overrides={"task": "cd", "batch_size": 8,
+                   "inputs": ["pre_event_1", "post_event"], **override},
+    )
+    cfg["mixed_precision"] = False
+    train_loader, _, test_loader = prepare_loaders(cfg, seed=999)
+
+    def assemble(batch):
+        to_nchw = lambda x: np.asarray(x, np.float32).transpose(0, 3, 1, 2)
+        return (to_nchw(batch["pre1"]), to_nchw(batch["post"]))
+
+    # Briefly TRAIN the oracle: a random-init head has measure-significant
+    # near-tie level sets, so its argmax flips under ~5e-4 framework numeric
+    # differences and F1 deltas become noise (observed ~5 pts). A few train
+    # steps make predictions decisive and the F1 comparison meaningful.
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=3)
+    tm.train()
+    for _ in range(10):
+        for batch in train_loader:
+            x1, x2 = (torch.from_numpy(x) for x in assemble(batch))
+            mask = torch.from_numpy(np.asarray(batch["mask"])).long()
+            opt.zero_grad()
+            loss = ce(tm(x1, x2), mask)
+            loss.backward()
+            opt.step()
+    tm = tm.eval()
+    ckpt = tmp_path / "best_segmentation.pt"
+    torch.save(tm, ckpt)
+
+    oracle_f1 = _torch_oracle_f1(tm, test_loader, assemble, two_input=True)
+
+    from kurosiwo_tpu.parity import main
+
+    report = main([
+        "--checkpoint", str(ckpt), "--model", "snunet", "--batch_size", "8",
+        "--override", _json.dumps(override),
+        "--expected-f1", str(oracle_f1), "--tolerance", "0.5",
+    ])
+    assert report["f1_within_tolerance"] is True, report
+    assert abs(report["delta_f1"]) < 0.5
+
+
+def test_parity_roundtrip_floodvit_finetune(tmp_path):
+    """floodvit finetune round trip: a reference-format FinetunerSegmentation
+    checkpoint (ViT encoder + mlp head, model_utilities.py:50-94) through the
+    parity CLI, delta vs the torch oracle ~0."""
+    import json as _json
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_vit_rt", REF / "models/vision_transformer.py"
+    )
+    vmod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_vit_rt"] = vmod
+    spec.loader.exec_module(vmod)
+    import einops as _einops
+    import torch.nn as nn
+
+    # model_utilities.py imports denoising_diffusion_pytorch/torchsummary
+    # (absent in this image), so replicate its 15-line FinetunerSegmentation
+    # wiring (model_utilities.py:50-94) verbatim: same attribute names =>
+    # byte-identical state_dict layout, same forward math.
+    class Finetuner(nn.Module):
+        def __init__(self, encoder, configs):
+            super().__init__()
+            self.configs = configs
+            self.model = encoder
+            self.model.pool = False
+            self.head = nn.Sequential(
+                nn.Conv2d(encoder.mlp_head.in_features, 512, kernel_size=1),
+                nn.ReLU(),
+                nn.Conv2d(512, configs["num_classes"], kernel_size=1),
+            )
+            self.model.mlp_head = nn.Identity()
+
+        def forward(self, x):
+            gs = 224 // self.configs["finetuning_patch_size"]
+            x = self.model(x)
+            x = _einops.rearrange(x, "b (h w) c -> b (c) h w", h=gs, w=gs)
+            x = nn.Upsample(size=(224, 224), mode="bilinear")(x)
+            return self.head(x)
+
+    dims = {"dim": 64, "depth": 2, "heads": 2, "mlp_dim": 128}
+    vit = vmod.ViT(
+        image_size=224, patch_size=16, num_classes=3, channels=6, pool="cls", **dims
+    )
+    fcfg = {"mlp": True, "decoder": False, "num_classes": 3,
+            "finetuning_patch_size": 16, "image_size": 224}
+    tm = Finetuner(encoder=vit, configs=fcfg).eval()
+    ckpt = tmp_path / "floodvit_finetuned.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    override = {"synthetic_size": 8, "mixed_precision": False, **dims}
+
+    from kurosiwo_tpu.config import load_config
+    from kurosiwo_tpu.data.pipeline import prepare_loaders
+
+    cfg = load_config(
+        method="finetune", overrides={"task": "segmentation", "batch_size": 8, **override}
+    )
+    cfg["mixed_precision"] = False
+    _, _, test_loader = prepare_loaders(cfg, seed=999)
+
+    def assemble(batch):
+        x = np.concatenate(
+            [np.asarray(batch["post"]), np.asarray(batch["pre1"]), np.asarray(batch["pre2"])],
+            axis=-1,
+        )
+        return x.astype(np.float32).transpose(0, 3, 1, 2)
+
+    oracle_f1 = _torch_oracle_f1(tm, test_loader, assemble, two_input=False)
+
+    from kurosiwo_tpu.parity import main
+
+    report = main([
+        "--checkpoint", str(ckpt), "--model", "finetune", "--batch_size", "8",
+        "--override", _json.dumps(override),
+        "--expected-f1", str(oracle_f1), "--tolerance", "0.5",
+    ])
+    assert report["f1_within_tolerance"] is True, report
