@@ -64,19 +64,88 @@ def lr_scale_by_path(scales: dict):
     return optax.GradientTransformation(init, update)
 
 
+def scale_by_adam_bf16(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """optax.scale_by_adam with the moment buffers STORED in bfloat16.
+
+    Motivation (docs/performance.md, MAE profile): the ViT-L optimizer tail is
+    pure HBM traffic — 307M params x 7 f32 tensor passes ~= 13 ms/step at the
+    measured 630 GB/s elementwise stream rate, with XLA already at bandwidth.
+    Moment dtype is the only lever left: bf16 m/v halve 4 of those passes
+    (20 B/param vs 28 B/param) and halve optimizer-state HBM residency.
+
+    All ARITHMETIC stays f32 (moments are upcast, updated, rounded back once
+    per step); params remain f32 masters. Accuracy: bf16 rounding of the
+    moments is ~0.4% relative noise on a heavily smoothed statistic;
+    tests/test_schedules_optim.py checks multi-step parity against torch
+    f32 Adam. Opt out with config "optimizer_moment_dtype": "float32"."""
+    import jax
+
+    def init(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), jnp.bfloat16)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**cf
+        bc2 = 1.0 - b2**cf
+
+        mf = jax.tree.map(
+            lambda g, m: b1 * m.astype(jnp.float32) + (1.0 - b1) * g.astype(jnp.float32),
+            updates, state.mu,
+        )
+        vf = jax.tree.map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state.nu,
+        )
+        u = jax.tree.map(lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mf, vf)
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda t: t.astype(jnp.bfloat16), mf),
+            nu=jax.tree.map(lambda t: t.astype(jnp.bfloat16), vf),
+        )
+        return u, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+def adam_bf16_moments(learning_rate, b1=0.9, b2=0.999, eps=1e-8):
+    """optax.adam drop-in with bf16 moment storage (see scale_by_adam_bf16)."""
+    return optax.chain(
+        scale_by_adam_bf16(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def create_optimizer(config: dict, model_config: dict, task: str = "segmentation"):
     """Returns an optax.GradientTransformation with injected 'learning_rate'."""
     lr = float(model_config.get("learning_rate", config.get("learning_rate", 1e-3)))
     lr_scales = model_config.get("lr_scales") or config.get("lr_scales")
 
     if task in ("segmentation", "mae"):
+        # MAE pretraining defaults to bf16 moment storage (ViT-L: ~4 ms/step
+        # and 1.2 GB of HBM saved; see scale_by_adam_bf16). f32 opt-out via
+        # config. Segmentation/CD keep plain f32 Adam (small params, and the
+        # torch-Adam checkpoint-resume parity is exact there).
+        moment_dtype = str(
+            model_config.get("optimizer_moment_dtype",
+                             config.get("optimizer_moment_dtype",
+                                        "bfloat16" if task == "mae" else "float32"))
+        )
+        adam = adam_bf16_moments if moment_dtype == "bfloat16" else optax.adam
         if lr_scales:
             return optax.inject_hyperparams(
                 lambda learning_rate: optax.chain(
-                    optax.adam(learning_rate), lr_scale_by_path(lr_scales)
+                    adam(learning_rate), lr_scale_by_path(lr_scales)
                 )
             )(learning_rate=lr)
-        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        return optax.inject_hyperparams(adam)(learning_rate=lr)
 
     # change detection / recurrent
     method = config.get("method", "")

@@ -81,7 +81,9 @@ def _fwd_kernel(cw_ref, l0, l1, l2, lab_ref, out_ref):
     i0 = valid * is0.astype(jnp.float32)
     i1 = valid * is1.astype(jnp.float32)
     i2 = valid * is2.astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # partials vector, duplicated over 8 sublanes (Mosaic requires the last
+    # two output block dims to be (8,128)-divisible; the host sums row 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
     acc = jnp.where(lane == 0, num, 0.0)
     acc = jnp.where(lane == 1, den, acc)
     k = 32
@@ -124,14 +126,14 @@ def _run_fwd(logits, labels, cw, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             blk, blk, blk, blk,
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid[0], 128), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(cw, *planes, lab)
-    sums = jnp.sum(partials, axis=0)
+    sums = jnp.sum(partials[:, 0, :], axis=0)
     total_w = jnp.maximum(sums[1], 1e-12)
     loss = sums[0] / total_w
     cm = sums[32:48].reshape(4, 4)
