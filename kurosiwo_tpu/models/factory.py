@@ -106,7 +106,9 @@ def initialize_cd_model(config: dict, model_config: dict, phase: str = "train"):
         remat = config["remat"] if "remat" in config else int(config.get("batch_size", 0)) >= 64
         return SNUNetECAM(
             num_classes=nc, base_channel=model_config.get("base_channel", 32),
-            remat=bool(remat), dtype=dt,
+            remat=bool(remat),
+            phase_l0=bool(config.get("snunet_phase", True)),
+            dtype=dt,
         )
     if method == "bit-cd":
         from .bit_cd import build_bit_cd

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -56,14 +57,57 @@ class ConvBlockNested(nn.Module):
     # the pooled encoder inputs (~370 MB across levels/frames at batch 128)
     # are recomputed in the backward pass instead of stored
     pre_pool: bool = False
+    # phase mode (round 3): inputs/outputs are space-to-depth phase tensors
+    # (B, H/2, W/2, 4C). The canonical (3,3) kernels are folded at trace time
+    # (ops/phase.phase_conv_kernel) so parameters/checkpoints are unchanged,
+    # but the convs contract over 4x wider channels — the level-0 grid's
+    # C=32 @ 224^2 convs (25% MXU lane efficiency) become C=128 @ 112^2.
+    # BN reduces over phases via phase_batch_view (numerically identical).
+    phase: bool = False
+    # pre_pool variant consuming PHASE inputs: maxpool2x2 == elementwise max
+    # over the 4 phase groups; output is a normal-space tensor
+    pre_pool_phase: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..ops.nn import ConvParams, conv_same
+        from ..ops.phase import (
+            phase_batch_unview,
+            phase_batch_view,
+            phase_conv_kernel,
+            phase_max_pool2x2,
+        )
 
         parts = list(x) if isinstance(x, (tuple, list)) else [x]
-        if self.pre_pool:
+        if self.pre_pool_phase:
+            parts = [phase_max_pool2x2(p) for p in parts]
+        elif self.pre_pool:
             parts = [max_pool(p) for p in parts]
+
+        if self.phase:
+            cin = sum(p.shape[-1] for p in parts) // 4  # canonical channels
+            kernel, bias = ConvParams((3, 3, cin, self.mid_ch), use_bias=True, name="conv1")()
+            x = jnp.tile(bias, 4).astype(self.dtype)
+            off = 0
+            for p in parts:
+                cpart = p.shape[-1] // 4
+                kp = phase_conv_kernel(kernel[:, :, off : off + cpart]).astype(self.dtype)
+                x = x + conv_same(p.astype(self.dtype), kp)
+                off += cpart
+            identity = x
+            x = phase_batch_view(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
+            k2, b2 = ConvParams((3, 3, self.mid_ch, self.out_ch), use_bias=True, name="conv2")()
+            x = phase_batch_unview(x)
+            x = conv_same(x, phase_conv_kernel(k2).astype(self.dtype)) + jnp.tile(b2, 4).astype(self.dtype)
+            x = phase_batch_view(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, name="bn2")(x)
+            x = phase_batch_unview(x)
+            return nn.relu(x + identity)
+
         # group adjacent parts to at least 64 channels (one concat per group)
         groups: list = []
         cur: list = []
@@ -94,6 +138,76 @@ class ConvBlockNested(nn.Module):
         return nn.relu(x + identity)
 
 
+class _PhaseUp2x(nn.Module):
+    """ConvTranspose2d(k=2, s=2) emitting phase-space output directly:
+    s2d(tconv2x(x)) == 1x1 conv with the folded kernel — the k2/s2 transposed
+    conv writes each output phase independently, so the 224^2 materialization
+    and its backward disappear. Parameter tree identical to ConvTranspose2x
+    (up/kernel (2,2,O,I) torch layout + up/bias) for checkpoint parity."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.phase import fold_tconv2x_kernel
+
+        class _P(nn.Module):
+            feats: int
+
+            @nn.compact
+            def __call__(self, cin):
+                k = self.param(
+                    "kernel",
+                    nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform", in_axis=(0, 1, 3)),
+                    (2, 2, self.feats, cin),
+                    jnp.float32,
+                )
+                b = self.param("bias", nn.initializers.zeros, (self.feats,), jnp.float32)
+                return k, b
+
+        kernel, bias = _P(self.features, name="up")(x.shape[-1])
+        kp = fold_tconv2x_kernel(kernel).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + jnp.tile(bias, 4).astype(self.dtype)
+
+
+class _PhaseFinalConv(nn.Module):
+    """conv_final (1x1, canonical (1,1,C,num_classes)) applied to the ECAM
+    concat in MAP-MAJOR phase layout: input channel (m, p, c) = the phase-p
+    copy of canonical channel m*c0+c; output is phase-major (p, o) so
+    depth_to_space recovers the full-res logits. Parameter tree identical to
+    nn.Conv (kernel/bias directly under the module name)."""
+
+    num_classes: int
+    cin: int            # canonical channels (n_maps * c0)
+    n_maps: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.cin, self.num_classes),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.num_classes,), jnp.float32)
+        c0 = self.cin // self.n_maps
+        # K[(m,p,c), (q,o)] = w[m*c0+c, o] * delta(p, q)
+        w = k[0, 0].reshape(self.n_maps, c0, self.num_classes)
+        eye = jnp.eye(4, dtype=k.dtype)
+        kp = jnp.einsum("pq,mco->mpcqo", eye, w).reshape(
+            self.n_maps * 4 * c0, 4 * self.num_classes
+        )[None, None].astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            z.astype(self.dtype), kp, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + jnp.tile(b, 4).astype(self.dtype)
+
+
 def _block_cls(remat: bool):
     return nn.remat(ConvBlockNested, static_argnums=(2,)) if remat else ConvBlockNested
 
@@ -102,48 +216,63 @@ class SNUNetECAM(nn.Module):
     num_classes: int
     base_channel: int = 32
     remat: bool = False  # column-granular decoder remat (see module docstring)
+    # run the level-0 row of the nested grid in phase (space-to-depth) space:
+    # its 12 convs are C=32 @ 224^2 (25% MXU lane efficiency) canonically and
+    # C=128 @ 112^2 folded — exact reparameterization, checkpoints unchanged
+    phase_l0: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
         n1 = self.base_channel
         f = [n1, n1 * 2, n1 * 4, n1 * 8, n1 * 16]
         dt = self.dtype
+        ph = self.phase_l0
         # encoder blocks: per-block remat (inputs live on as skip features)
         EncBlock = _block_cls(self.remat)
-        self.conv0_0 = EncBlock(f[0], f[0], dt)
-        self.conv1_0 = EncBlock(f[1], f[1], dt, pre_pool=True)
+        self.conv0_0 = EncBlock(f[0], f[0], dt, phase=ph)
+        self.conv1_0 = EncBlock(f[1], f[1], dt, pre_pool=not ph, pre_pool_phase=ph)
         self.conv2_0 = EncBlock(f[2], f[2], dt, pre_pool=True)
         self.conv3_0 = EncBlock(f[3], f[3], dt, pre_pool=True)
         self.conv4_0 = EncBlock(f[4], f[4], dt, pre_pool=True)
         # decoder nodes: plain blocks — columns are checkpointed as a whole
-        self.conv0_1 = ConvBlockNested(f[0], f[0], dt)
+        self.conv0_1 = ConvBlockNested(f[0], f[0], dt, phase=ph)
         self.conv1_1 = ConvBlockNested(f[1], f[1], dt)
         self.conv2_1 = ConvBlockNested(f[2], f[2], dt)
         self.conv3_1 = ConvBlockNested(f[3], f[3], dt)
-        self.conv0_2 = ConvBlockNested(f[0], f[0], dt)
+        self.conv0_2 = ConvBlockNested(f[0], f[0], dt, phase=ph)
         self.conv1_2 = ConvBlockNested(f[1], f[1], dt)
         self.conv2_2 = ConvBlockNested(f[2], f[2], dt)
-        self.conv0_3 = ConvBlockNested(f[0], f[0], dt)
+        self.conv0_3 = ConvBlockNested(f[0], f[0], dt, phase=ph)
         self.conv1_3 = ConvBlockNested(f[1], f[1], dt)
-        self.conv0_4 = ConvBlockNested(f[0], f[0], dt)
-        self.Up1_0 = ConvTranspose2x(f[1], dtype=dt)
+        self.conv0_4 = ConvBlockNested(f[0], f[0], dt, phase=ph)
+        Up0 = (lambda feats: _PhaseUp2x(feats, dtype=dt)) if ph else (
+            lambda feats: ConvTranspose2x(feats, dtype=dt)
+        )
+        self.Up1_0 = Up0(f[1])
         self.Up2_0 = ConvTranspose2x(f[2], dtype=dt)
         self.Up3_0 = ConvTranspose2x(f[3], dtype=dt)
         self.Up4_0 = ConvTranspose2x(f[4], dtype=dt)
-        self.Up1_1 = ConvTranspose2x(f[1], dtype=dt)
+        self.Up1_1 = Up0(f[1])
         self.Up2_1 = ConvTranspose2x(f[2], dtype=dt)
         self.Up3_1 = ConvTranspose2x(f[3], dtype=dt)
-        self.Up1_2 = ConvTranspose2x(f[1], dtype=dt)
+        self.Up1_2 = Up0(f[1])
         self.Up2_2 = ConvTranspose2x(f[2], dtype=dt)
-        self.Up1_3 = ConvTranspose2x(f[1], dtype=dt)
+        self.Up1_3 = Up0(f[1])
         self.ca1 = ChannelAttention(ratio=16 // 4, dtype=dt)
         self.ca = ChannelAttention(ratio=16, dtype=dt)
-        self.conv_final = nn.Conv(
-            self.num_classes, (1, 1), use_bias=True, dtype=dt
-        )
+        if ph:
+            self.conv_final = _PhaseFinalConv(self.num_classes, 4 * f[0], dtype=dt)
+        else:
+            self.conv_final = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=dt)
 
     def __call__(self, xa, xb, train: bool = False):
         cat = lambda *ts: ts  # parts tuple; ConvBlockNested splits the kernel
+
+        if self.phase_l0:
+            from ..ops.phase import space_to_depth
+
+            xa = space_to_depth(xa)
+            xb = space_to_depth(xb)
 
         # shared-weight encoder on both frames; frame B goes one stage deeper
         x0_0a = self.conv0_0(xa, train)
@@ -180,6 +309,35 @@ class SNUNetECAM(nn.Module):
             return mdl.conv0_4(cat(x0_0a, x0_0b, x0_1, x0_2, x0_3, mdl.Up1_3(x1_3)), train)
 
         def ecam_head(mdl, x0_1, x0_2, x0_3, x0_4):
+            if mdl.phase_l0:
+                # phase-space ECAM: channel attention is per CANONICAL channel,
+                # so pools reduce over space AND phases; the attention vectors
+                # broadcast back phase-major. Math identical to the canonical
+                # head on depth_to_space inputs.
+                from ..ops.phase import (
+                    depth_to_space,
+                    phase_channel_pools,
+                    phase_tile_channels,
+                )
+
+                maps = [x0_1, x0_2, x0_3, x0_4]
+                out = jnp.concatenate(maps, axis=-1)  # (B,H,W,4*(4f0)) phase-per-map
+                intra = x0_1 + x0_2 + x0_3 + x0_4
+                a1, m1 = phase_channel_pools(intra)
+                ca1 = mdl.ca1(intra, pooled=(a1, m1))  # (B,1,1,f0)
+                pools = [phase_channel_pools(m) for m in maps]
+                avg = jnp.concatenate([p[0] for p in pools], axis=-1)
+                mx = jnp.concatenate([p[1] for p in pools], axis=-1)
+                ca = mdl.ca(out, pooled=(avg, mx))  # (B,1,1,4*f0) canonical
+                c0 = x0_1.shape[-1] // 4  # canonical f0
+                ca_phase = jnp.concatenate(
+                    [phase_tile_channels(ca[..., m * c0 : (m + 1) * c0]) for m in range(4)],
+                    axis=-1,
+                )
+                ca1_phase = jnp.tile(ca1, (1, 1, 1, 16))
+                out = ca_phase * (out + ca1_phase)
+                out = mdl.conv_final(out)  # phase logits (B,H,W,4*ncls)
+                return depth_to_space(out).astype(jnp.float32)
             out = jnp.concatenate([x0_1, x0_2, x0_3, x0_4], axis=-1)  # (B,H,W,4*f0)
             intra = x0_1 + x0_2 + x0_3 + x0_4
             ca1 = mdl.ca1(intra)

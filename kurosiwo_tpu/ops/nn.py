@@ -276,12 +276,20 @@ class ChannelAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
+    def __call__(self, x, pooled=None):
+        """`pooled`: optional precomputed (avg, max) global pools of shape
+        (B, 1, 1, C) — used by phase-space callers whose canonical channel
+        pooling differs from a plain spatial pool (ops/phase
+        .phase_channel_pools). Parameters are identical either way."""
+        if pooled is not None:
+            avg_in, max_in = pooled
+        else:
+            avg_in, max_in = global_avg_pool(x), global_max_pool(x)
+        c = avg_in.shape[-1]
         fc1 = nn.Conv(c // self.ratio, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")
         fc2 = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")
-        avg_out = fc2(nn.relu(fc1(global_avg_pool(x))))
-        max_out = fc2(nn.relu(fc1(global_max_pool(x))))
+        avg_out = fc2(nn.relu(fc1(avg_in)))
+        max_out = fc2(nn.relu(fc1(max_in)))
         return nn.sigmoid(avg_out + max_out)
 
 

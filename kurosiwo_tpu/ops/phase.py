@@ -178,3 +178,51 @@ def conv2x2_shifted(z: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
             g = 2 * a + bb
             parts.append(y[:, a : h + a, bb : w + bb, g * co : (g + 1) * co])
     return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# SNUNet phase-space transforms (round 3): the nested level-0 grid runs 12
+# convs at 224^2 with C=32 (25% MXU lane efficiency); in phase space they are
+# 128-channel convs at 112^2. All exact reparameterizations of the canonical
+# parameters (checkpoints unaffected).
+
+def fold_tconv2x_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """torch-layout ConvTranspose2d(k=2, s=2) kernel (2, 2, Cout, Cin) ->
+    phase-space 1x1 kernel (1, 1, Cin, 4*Cout) such that
+    s2d(conv_transpose2x(x, w)) == conv1x1(x, K): the k2/s2 transposed conv
+    writes each output phase (a, b) as x @ w[a, b] with no overlap."""
+    k2, _, cout, cin = w.shape
+    assert k2 == 2
+    k = jnp.transpose(w, (3, 0, 1, 2))  # (Cin, 2, 2, Cout)
+    return k.reshape(1, 1, cin, 4 * cout)
+
+
+def phase_1x1_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Canonical 1x1 kernel (1, 1, C, O) -> block-diagonal phase kernel
+    (1, 1, 4C, 4O): each phase group maps through the same 1x1 conv."""
+    _, _, c, o = w.shape
+    eye = jnp.eye(4, dtype=w.dtype)
+    k = jnp.einsum("pq,co->pcqo", eye, w[0, 0])
+    return k.reshape(4 * c, 4 * o)[None, None]
+
+
+def phase_max_pool2x2(z: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool2d(2, 2) of the full-res map, computed in phase space: the
+    2x2 stride-2 window of X is exactly the 4 phase copies of each canonical
+    channel. (B, H, W, 4C) -> (B, H, W, C), elementwise max."""
+    b, h, w, c4 = z.shape
+    return jnp.max(z.reshape(b, h, w, 4, c4 // 4), axis=3)
+
+
+def phase_channel_pools(z: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Global (avg, max) pools PER CANONICAL CHANNEL of a phase tensor:
+    (B, H, W, 4C) -> two (B, 1, 1, C). Equal to pooling depth_to_space(z)."""
+    b, h, w, c4 = z.shape
+    v = z.reshape(b, h * w * 4, c4 // 4)
+    return v.mean(axis=1)[:, None, None, :], v.max(axis=1)[:, None, None, :]
+
+
+def phase_tile_channels(v: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-canonical-channel vector (B, 1, 1, C) into phase
+    layout (B, 1, 1, 4C) (phase-major: value repeats for each phase)."""
+    return jnp.tile(v, (1, 1, 1, 4))
