@@ -104,9 +104,14 @@ class TaskEngine:
         with_aoi = bool(config.get("log_AOI_metrics"))
         # wandb.watch-equivalent gradient tracking (reference main.py:144)
         self.with_grad_norm = bool(config.get("wandb_activate") or config.get("log_grad_norm"))
+        # wandb.watch parity (main.py:144): per-layer parameter histograms +
+        # per-layer gradient norms every print_frequency steps
+        self.with_watch = bool(config.get("wandb_activate")) and bool(
+            config.get("wandb_watch", True)
+        )
         self._train_step_fn = make_train_step(
             self.model, self.tx, train_criterion, config, model_config, task,
-            with_grad_norm=self.with_grad_norm,
+            with_grad_norm=self.with_grad_norm, with_watch=self.with_watch,
         )
         # eval in f32 like the reference (autocast force-off at eval,
         # segmentation_trainer.py:321): same f32 params, f32 compute twin.
@@ -216,7 +221,13 @@ class TaskEngine:
             self.state, metric_state, aux = self._train_step(
                 self.state, device_batch, metric_state, jnp.asarray(lr_value, jnp.float32), step_rng
             )
-            loss, grad_norm = aux if self.with_grad_norm else (aux, None)
+            norm_tree = None
+            if self.with_watch:
+                loss, grad_norm, norm_tree = aux
+            elif self.with_grad_norm:
+                loss, grad_norm = aux
+            else:
+                loss, grad_norm = aux, None
             losses.append(loss)
             nbatches += 1
             if index % int(cfg.get("print_frequency", 10)) == 0:
@@ -230,6 +241,8 @@ class TaskEngine:
                     epoch, index, float(loss), lr_value, snap,
                     grad_norm=None if grad_norm is None else float(grad_norm),
                 )
+                if norm_tree is not None:
+                    self.logger.log_watch(self.state.params, norm_tree)
         summary = metric_state.summarize()
         summary["epoch_time_s"] = time.time() - t0
         summary["batches"] = nbatches

@@ -117,6 +117,7 @@ def make_train_step(
     task: str = "segmentation",
     with_aoi: bool = False,
     with_grad_norm: bool = False,
+    with_watch: bool = False,
 ):
     """Returns train_step(state, batch, metric_state, lr, rng) -> (state, metrics, aux).
     aux is the scalar loss, or (loss, global_grad_norm) when with_grad_norm —
@@ -217,6 +218,11 @@ def make_train_step(
         if with_grad_norm:
             import optax
 
+            if with_watch:
+                # per-layer gradient norms (wandb.watch telemetry; scalars,
+                # negligible device->host traffic)
+                norm_tree = jax.tree.map(lambda g: jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)))), grads)
+                return new_state, metric_state, (loss, optax.global_norm(grads), norm_tree)
             return new_state, metric_state, (loss, optax.global_norm(grads))
         return new_state, metric_state, loss
 

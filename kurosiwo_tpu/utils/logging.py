@@ -74,6 +74,33 @@ class MetricLogger:
             payload["Train MeanIoU"] = 100 * snap["mean_iou"]
         self._emit(payload)
 
+    def log_watch(self, params: Any, grad_norms: Any = None, prefix: str = ""):
+        """wandb.watch-equivalent telemetry (reference main.py:144,
+        segmentation_trainer.py:30): per-layer parameter histograms and
+        per-layer gradient norms. Called by the engine every print_frequency
+        steps when `wandb_watch` is enabled (params come from the host copy
+        of the train state; gradient norms are device scalars computed in
+        the step)."""
+        if self.wandb is None:
+            return
+        import numpy as np
+
+        payload = {}
+
+        def leaf_name(path):
+            return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+        import jax
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            payload[f"parameters/{prefix}{leaf_name(path)}"] = self.wandb.Histogram(
+                np.asarray(leaf, np.float32).ravel()
+            )
+        if grad_norms is not None:
+            for path, leaf in jax.tree_util.tree_flatten_with_path(grad_norms)[0]:
+                payload[f"gradients/{prefix}{leaf_name(path)}.norm"] = float(leaf)
+        self.wandb.log(payload)
+
     def log_train_epoch(self, epoch: int, summary: dict):
         payload = {"Epoch": epoch, "Train MeanIoU": summary["mean_iou"] * 100}
         for c in range(NUM_CLASSES):
