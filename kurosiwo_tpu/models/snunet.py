@@ -81,6 +81,13 @@ class ConvBlockNested(nn.Module):
         parts = list(x) if isinstance(x, (tuple, list)) else [x]
         if self.pre_pool_phase:
             parts = [phase_max_pool2x2(p) for p in parts]
+            if self.phase:
+                # phase block fed by a phase-pooled input (conv1_0 when both
+                # level 0 and level 1 run in phase space): re-fold the pooled
+                # normal-space map into the next level's phase layout
+                from ..ops.phase import space_to_depth
+
+                parts = [space_to_depth(p) for p in parts]
         elif self.pre_pool:
             parts = [max_pool(p) for p in parts]
 
@@ -216,10 +223,12 @@ class SNUNetECAM(nn.Module):
     num_classes: int
     base_channel: int = 32
     remat: bool = False  # column-granular decoder remat (see module docstring)
-    # run the level-0 row of the nested grid in phase (space-to-depth) space:
-    # its 12 convs are C=32 @ 224^2 (25% MXU lane efficiency) canonically and
-    # C=128 @ 112^2 folded — exact reparameterization, checkpoints unchanged
+    # run the level-0 and level-1 rows of the nested grid in phase
+    # (space-to-depth) space: their 22 convs are C=32 @ 224^2 / C=64 @ 112^2
+    # canonically (25% / 50% MXU lane efficiency) and C=128 @ 112^2 /
+    # C=256 @ 56^2 folded — exact reparameterization, checkpoints unchanged
     phase_l0: bool = True
+    phase_l1: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -227,36 +236,40 @@ class SNUNetECAM(nn.Module):
         f = [n1, n1 * 2, n1 * 4, n1 * 8, n1 * 16]
         dt = self.dtype
         ph = self.phase_l0
+        ph1 = self.phase_l0 and self.phase_l1
         # encoder blocks: per-block remat (inputs live on as skip features)
         EncBlock = _block_cls(self.remat)
         self.conv0_0 = EncBlock(f[0], f[0], dt, phase=ph)
-        self.conv1_0 = EncBlock(f[1], f[1], dt, pre_pool=not ph, pre_pool_phase=ph)
-        self.conv2_0 = EncBlock(f[2], f[2], dt, pre_pool=True)
+        self.conv1_0 = EncBlock(f[1], f[1], dt, pre_pool=not ph, pre_pool_phase=ph, phase=ph1)
+        self.conv2_0 = EncBlock(f[2], f[2], dt, pre_pool=not ph1, pre_pool_phase=ph1)
         self.conv3_0 = EncBlock(f[3], f[3], dt, pre_pool=True)
         self.conv4_0 = EncBlock(f[4], f[4], dt, pre_pool=True)
         # decoder nodes: plain blocks — columns are checkpointed as a whole
         self.conv0_1 = ConvBlockNested(f[0], f[0], dt, phase=ph)
-        self.conv1_1 = ConvBlockNested(f[1], f[1], dt)
+        self.conv1_1 = ConvBlockNested(f[1], f[1], dt, phase=ph1)
         self.conv2_1 = ConvBlockNested(f[2], f[2], dt)
         self.conv3_1 = ConvBlockNested(f[3], f[3], dt)
         self.conv0_2 = ConvBlockNested(f[0], f[0], dt, phase=ph)
-        self.conv1_2 = ConvBlockNested(f[1], f[1], dt)
+        self.conv1_2 = ConvBlockNested(f[1], f[1], dt, phase=ph1)
         self.conv2_2 = ConvBlockNested(f[2], f[2], dt)
         self.conv0_3 = ConvBlockNested(f[0], f[0], dt, phase=ph)
-        self.conv1_3 = ConvBlockNested(f[1], f[1], dt)
+        self.conv1_3 = ConvBlockNested(f[1], f[1], dt, phase=ph1)
         self.conv0_4 = ConvBlockNested(f[0], f[0], dt, phase=ph)
         Up0 = (lambda feats: _PhaseUp2x(feats, dtype=dt)) if ph else (
             lambda feats: ConvTranspose2x(feats, dtype=dt)
         )
+        Up1 = (lambda feats: _PhaseUp2x(feats, dtype=dt)) if ph1 else (
+            lambda feats: ConvTranspose2x(feats, dtype=dt)
+        )
         self.Up1_0 = Up0(f[1])
-        self.Up2_0 = ConvTranspose2x(f[2], dtype=dt)
+        self.Up2_0 = Up1(f[2])
         self.Up3_0 = ConvTranspose2x(f[3], dtype=dt)
         self.Up4_0 = ConvTranspose2x(f[4], dtype=dt)
         self.Up1_1 = Up0(f[1])
-        self.Up2_1 = ConvTranspose2x(f[2], dtype=dt)
+        self.Up2_1 = Up1(f[2])
         self.Up3_1 = ConvTranspose2x(f[3], dtype=dt)
         self.Up1_2 = Up0(f[1])
-        self.Up2_2 = ConvTranspose2x(f[2], dtype=dt)
+        self.Up2_2 = Up1(f[2])
         self.Up1_3 = Up0(f[1])
         self.ca1 = ChannelAttention(ratio=16 // 4, dtype=dt)
         self.ca = ChannelAttention(ratio=16, dtype=dt)
@@ -286,27 +299,36 @@ class SNUNetECAM(nn.Module):
         x3_0b = self.conv3_0(x2_0b, train)
         x4_0b = self.conv4_0(x3_0b, train)
 
-        # decoder columns; closures capture `train` (trace-static)
+        # decoder columns; closures capture `train` (trace-static).
+        # When level 1 is in phase space, Up1_* (a full-res k2/s2 tconv of the
+        # 112^2 map) reads the depth_to_space view of the phase tensor — one
+        # 51 MB relayout copy per leg at batch 128, vs the 224^2 tconv
+        # materialization it replaces.
+        if self.phase_l0 and self.phase_l1:
+            from ..ops.phase import depth_to_space as _u1in
+        else:
+            _u1in = lambda z: z
+
         def col1(mdl, x0_0a, x0_0b, x1_0a, x1_0b, x2_0a, x2_0b, x3_0a, x3_0b, x4_0b):
-            x0_1 = mdl.conv0_1(cat(x0_0a, x0_0b, mdl.Up1_0(x1_0b)), train)
+            x0_1 = mdl.conv0_1(cat(x0_0a, x0_0b, mdl.Up1_0(_u1in(x1_0b))), train)
             x1_1 = mdl.conv1_1(cat(x1_0a, x1_0b, mdl.Up2_0(x2_0b)), train)
             x2_1 = mdl.conv2_1(cat(x2_0a, x2_0b, mdl.Up3_0(x3_0b)), train)
             x3_1 = mdl.conv3_1(cat(x3_0a, x3_0b, mdl.Up4_0(x4_0b)), train)
             return x0_1, x1_1, x2_1, x3_1
 
         def col2(mdl, x0_0a, x0_0b, x1_0a, x1_0b, x2_0a, x2_0b, x0_1, x1_1, x2_1, x3_1):
-            x0_2 = mdl.conv0_2(cat(x0_0a, x0_0b, x0_1, mdl.Up1_1(x1_1)), train)
+            x0_2 = mdl.conv0_2(cat(x0_0a, x0_0b, x0_1, mdl.Up1_1(_u1in(x1_1))), train)
             x1_2 = mdl.conv1_2(cat(x1_0a, x1_0b, x1_1, mdl.Up2_1(x2_1)), train)
             x2_2 = mdl.conv2_2(cat(x2_0a, x2_0b, x2_1, mdl.Up3_1(x3_1)), train)
             return x0_2, x1_2, x2_2
 
         def col3(mdl, x0_0a, x0_0b, x1_0a, x1_0b, x0_1, x0_2, x1_1, x1_2, x2_2):
-            x0_3 = mdl.conv0_3(cat(x0_0a, x0_0b, x0_1, x0_2, mdl.Up1_2(x1_2)), train)
+            x0_3 = mdl.conv0_3(cat(x0_0a, x0_0b, x0_1, x0_2, mdl.Up1_2(_u1in(x1_2))), train)
             x1_3 = mdl.conv1_3(cat(x1_0a, x1_0b, x1_1, x1_2, mdl.Up2_2(x2_2)), train)
             return x0_3, x1_3
 
         def col4(mdl, x0_0a, x0_0b, x0_1, x0_2, x0_3, x1_3):
-            return mdl.conv0_4(cat(x0_0a, x0_0b, x0_1, x0_2, x0_3, mdl.Up1_3(x1_3)), train)
+            return mdl.conv0_4(cat(x0_0a, x0_0b, x0_1, x0_2, x0_3, mdl.Up1_3(_u1in(x1_3))), train)
 
         def ecam_head(mdl, x0_1, x0_2, x0_3, x0_4):
             if mdl.phase_l0:
