@@ -140,8 +140,12 @@ def make_train_step(
     use_remat = bool(config.get("remat")) and config.get("method") != "snunet"
     # fused Pallas loss/metrics tail (ops/pallas_tail.py): one pass for the
     # weighted CE + confusion matrix, replacing the one-hot formulations.
-    # Auto-on for TPU when the step is the plain-CE 3-class shape; config key
-    # "fused_tail" forces it on (interpret-mode on CPU, for tests) or off.
+    # DEFAULT OFF (measured): on the UNet-b128 step the class-plane split
+    # reads the decoder's phase-space logits layout and XLA materializes
+    # three (B,112,2,112,2) reshapes + copies (~11 ms, 3,266 -> 2,657
+    # patches/s — BENCH r3 interim; same lesson as ops/pallas_bn.py: opaque
+    # consumers of conv outputs force relayouts). Config "fused_tail": true
+    # opts in (interpret-mode on CPU, for tests).
     fused_flag = config.get("fused_tail")
     fused_eligible = (
         config.get("loss_function", "cross_entropy") == "cross_entropy"
@@ -154,7 +158,7 @@ def make_train_step(
         and jax.device_count() == 1
     )
     on_tpu = jax.default_backend() == "tpu"
-    use_fused_tail = fused_eligible and (fused_flag if fused_flag is not None else on_tpu)
+    use_fused_tail = fused_eligible and bool(fused_flag)
     fused_interpret = not on_tpu
     if use_fused_tail:
         # train-mode CE weights (create_loss mode="train" semantics: the
