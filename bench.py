@@ -110,6 +110,8 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--remat", action="store_true", help="gradient checkpointing")
+    p.add_argument("--fused_tail", default=None, choices=["phase", "plane"],
+                   help="opt-in Pallas loss/metrics tail variant (perf experiments)")
     args = p.parse_args()
 
     from kurosiwo_tpu.models.factory import (
@@ -129,6 +131,8 @@ def main():
         return bench_mae(args, n_dev)
     batch = args.batch or (128 * n_dev)
     cfg = build_config(args.model, batch)
+    if args.fused_tail:
+        cfg["fused_tail"] = "phase" if args.fused_tail == "phase" else True
     if args.remat:
         cfg["remat"] = True
     task = "cd" if cfg["task"] == "cd" else "segmentation"

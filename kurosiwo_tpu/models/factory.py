@@ -41,7 +41,10 @@ def initialize_segmentation_model(config: dict, model_config: dict):
     if method == "unet":
         from .unet import UNet
 
-        return UNet(num_classes=nc, backbone=model_config.get("backbone", "resnet18"), dtype=dt)
+        return UNet(
+            num_classes=nc, backbone=model_config.get("backbone", "resnet18"), dtype=dt,
+            return_phase_logits=config.get("fused_tail") == "phase",
+        )
     if method in ("unetplusplus", "unet++"):
         from .unet import UNetPlusPlus
 

@@ -110,6 +110,11 @@ class UNet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
     phase_finale: bool = True
+    # emit the head's PHASE-space logits (B, H/2, W/2, 4*num_classes) without
+    # the depth_to_space interleave — for the phase-native fused loss tail
+    # (ops/pallas_tail.fused_ce_cm_phase), whose backward also stays in phase
+    # layout. Only meaningful when phase_finale is active.
+    return_phase_logits: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -131,6 +136,8 @@ class UNet(nn.Module):
             )()
             k = phase_conv_kernel(kernel).astype(self.dtype)
             z = conv_same(y.astype(self.dtype), k) + jnp.tile(bias, 4).astype(self.dtype)
+            if self.return_phase_logits:
+                return z
             logits = depth_to_space(z)
         else:
             logits = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype, name="head")(y)

@@ -196,3 +196,149 @@ def _fused_bwd(interpret, res, cot):
 
 
 fused_ce_cm.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Phase-native variant (round 3): consumes the decoder head's PHASE-space
+# logits (B, H, W, 4*3) directly — the plane-split variant above measured a
+# 3,266 -> 2,657 patches/s regression because slicing class planes out of
+# the phase layout materialized three (B,112,2,112,2) reshapes + copies
+# (~11 ms). Here the kernel reads the interleaved (..., p*3+c) lanes as-is:
+# class groups are contiguous triples, reduced with two lane-rolls; the mask
+# arrives phase-folded and replicated per class (exact in bf16). dlogits are
+# emitted IN PHASE LAYOUT, feeding the head conv's backward natively.
+
+def _phase_prep(zlogits, labels):
+    b, h, w, c12 = zlogits.shape
+    assert c12 == 12, zlogits.shape
+    from .phase import space_to_depth_mask
+
+    m = space_to_depth_mask(labels.astype(jnp.int32))  # (B,H,W,4)
+    m12 = jnp.repeat(m.astype(jnp.bfloat16), 3, axis=-1)  # (B,H,W,12): label per (p,c)
+    lanes = w * 12
+    z = zlogits.reshape(b * h, lanes)
+    m12 = m12.reshape(b * h, lanes)
+    rows = b * h
+    rpad = -(-rows // ROWS) * ROWS
+    if rpad != rows:
+        z = jnp.pad(z, ((0, rpad - rows), (0, 0)))
+        m12 = jnp.pad(m12, ((0, rpad - rows), (0, 0)), constant_values=float(IGNORE_INDEX))
+    return z, m12, lanes
+
+
+def _phase_fwd_kernel(cw_ref, z_ref, lab_ref, out_ref):
+    x = z_ref[...].astype(jnp.float32)
+    lab = lab_ref[...].astype(jnp.float32)
+    L = x.shape[1]
+    # pltpu.roll takes non-negative shifts; roll by L-k == roll by -k, and
+    # the wrap-around lanes never land on class-group anchors (L % 3 == 0)
+    r1 = pltpu.roll(x, L - 1, 1)
+    r2 = pltpu.roll(x, L - 2, 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 3
+    anchor = (ci == 0).astype(jnp.float32)
+    m = jnp.maximum(x, jnp.maximum(r1, r2))
+    e0 = jnp.exp(x - m)
+    e1 = jnp.exp(r1 - m)
+    e2 = jnp.exp(r2 - m)
+    lse_a = m + jnp.log(e0 + e1 + e2)  # valid at anchors
+    lse = jnp.where(ci == 0, lse_a, jnp.where(ci == 1, pltpu.roll(lse_a, 1, 1), pltpu.roll(lse_a, 2, 1)))
+    valid = (lab != float(IGNORE_INDEX)).astype(jnp.float32)
+    w = valid * jnp.where(lab == 0.0, cw_ref[0], jnp.where(lab == 1.0, cw_ref[1], cw_ref[2]))
+    sel = (lab == ci.astype(jnp.float32)).astype(jnp.float32)
+    num = jnp.sum(sel * w * (lse - x))
+    den = jnp.sum(anchor * w)
+    # argmax at anchors (first max wins)
+    p1 = r1 > x
+    pred2 = r2 > jnp.maximum(x, r1)
+    pj0 = (~pred2 & ~p1).astype(jnp.float32) * anchor
+    pj1 = (~pred2 & p1).astype(jnp.float32) * anchor
+    pj2 = pred2.astype(jnp.float32) * anchor
+    i0 = valid * (lab == 0.0).astype(jnp.float32)
+    i1 = valid * (lab == 1.0).astype(jnp.float32)
+    i2 = valid * (lab == 2.0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    acc = jnp.where(lane == 0, num, 0.0)
+    acc = jnp.where(lane == 1, den, acc)
+    k = 32
+    for li, ind in enumerate((i0, i1, i2)):
+        for pj, pv in enumerate((pj0, pj1, pj2)):
+            acc = jnp.where(lane == k + 4 * li + pj, jnp.sum(ind * pv), acc)
+    out_ref[...] = acc
+
+
+def _phase_bwd_kernel(cw_ref, gs_ref, z_ref, lab_ref, d_ref):
+    x = z_ref[...].astype(jnp.float32)
+    lab = lab_ref[...].astype(jnp.float32)
+    L = x.shape[1]
+    r1 = pltpu.roll(x, L - 1, 1)
+    r2 = pltpu.roll(x, L - 2, 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 3
+    m = jnp.maximum(x, jnp.maximum(r1, r2))
+    lse_a = m + jnp.log(jnp.exp(x - m) + jnp.exp(r1 - m) + jnp.exp(r2 - m))
+    lse = jnp.where(ci == 0, lse_a, jnp.where(ci == 1, pltpu.roll(lse_a, 1, 1), pltpu.roll(lse_a, 2, 1)))
+    valid = (lab != float(IGNORE_INDEX)).astype(jnp.float32)
+    w = valid * jnp.where(lab == 0.0, cw_ref[0], jnp.where(lab == 1.0, cw_ref[1], cw_ref[2]))
+    sel = (lab == ci.astype(jnp.float32)).astype(jnp.float32)
+    d_ref[...] = (gs_ref[0] * w * (jnp.exp(x - lse) - sel)).astype(d_ref.dtype)
+
+
+def _phase_run_fwd(zlogits, labels, cw, interpret):
+    z, m12, lanes = _phase_prep(zlogits, labels)
+    grid = (z.shape[0] // ROWS,)
+    blk = pl.BlockSpec((ROWS, lanes), lambda i: (i, 0))
+    partials = pl.pallas_call(
+        _phase_fwd_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(cw, z, m12)
+    sums = jnp.sum(partials[:, 0, :], axis=0)
+    total_w = jnp.maximum(sums[1], 1e-12)
+    return sums[0] / total_w, sums[32:48].reshape(4, 4), total_w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_ce_cm_phase(zlogits, labels, class_weights, interpret=False):
+    """Weighted CE + 4x4 confusion matrix from PHASE-space logits
+    (B, H, W, 12) against the full-res labels (B, 2H, 2W). Identical math to
+    fused_ce_cm on depth_to_space(zlogits) — without ever materializing the
+    interleaved logits. Gradient flows to zlogits in phase layout."""
+    loss, cm, _ = _phase_run_fwd(zlogits, labels, jnp.asarray(class_weights, jnp.float32), interpret)
+    return loss, cm
+
+
+def _phase_fused_fwd(zlogits, labels, class_weights, interpret):
+    cw = jnp.asarray(class_weights, jnp.float32)
+    loss, cm, total_w = _phase_run_fwd(zlogits, labels, cw, interpret)
+    return (loss, cm), (zlogits, labels, cw, total_w)
+
+
+def _phase_fused_bwd(interpret, res, cot):
+    g_loss, _ = cot
+    zlogits, labels, cw, total_w = res
+    gscale = (g_loss / total_w).astype(jnp.float32)
+    z, m12, lanes = _phase_prep(zlogits, labels)
+    grid = (z.shape[0] // ROWS,)
+    blk = pl.BlockSpec((ROWS, lanes), lambda i: (i, 0))
+    d = pl.pallas_call(
+        _phase_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk, blk,
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(z.shape, zlogits.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(cw, gscale.reshape(1), z, m12)
+    b, h, w, _ = zlogits.shape
+    d = d[: b * h].reshape(b, h, w, 12)
+    return d, None, None
+
+
+fused_ce_cm_phase.defvjp(_phase_fused_fwd, _phase_fused_bwd)

@@ -159,6 +159,10 @@ def make_train_step(
     )
     on_tpu = jax.default_backend() == "tpu"
     use_fused_tail = fused_eligible and bool(fused_flag)
+    # "phase" variant: the model emits phase-space logits (factory wires
+    # return_phase_logits for unet) and the kernel consumes them natively —
+    # no interleave in fwd and dlogits stay in phase layout for the head conv
+    fused_phase = use_fused_tail and fused_flag == "phase" and task == "segmentation"
     fused_interpret = not on_tpu
     if use_fused_tail:
         # train-mode CE weights (create_loss mode="train" semantics: the
@@ -185,6 +189,11 @@ def make_train_step(
                 fwd = jax.checkpoint(fwd, policy=jax.checkpoint_policies.nothing_saveable)
             out, new_bs = fwd(params, *model_inputs)
             logits, all_heads = _combine_multiscale(out, config, model_config, True)
+            if fused_phase and logits.ndim == 4 and logits.shape[-1] == 12:
+                from ..ops.pallas_tail import fused_ce_cm_phase
+
+                loss, cm = fused_ce_cm_phase(logits, mask, fused_cw, fused_interpret)
+                return loss, (cm, new_bs)
             if use_fused_tail:
                 from ..ops.pallas_tail import fused_ce_cm
 
@@ -253,6 +262,16 @@ def make_eval_step(
         mask = batch["mask"]
         out, _ = _forward(model, state.params, state.batch_stats, model_inputs, False)
         logits, _ = _combine_multiscale(out, config, model_config, False)
+        if (
+            config.get("fused_tail") == "phase"
+            and logits.ndim == 4
+            and logits.shape[1] * 2 == mask.shape[1]
+        ):
+            # model emits phase-space logits for the fused train tail;
+            # eval interleaves them back for preds/viz (cold path)
+            from ..ops.phase import depth_to_space
+
+            logits = depth_to_space(logits)
         # Eval loss is unweighted CE in the reference (create_loss mode="val").
         loss = criterion(logits, mask)
         preds = jnp.argmax(logits, axis=-1)

@@ -133,3 +133,103 @@ def test_train_step_fused_vs_xla_tail():
     np.testing.assert_array_equal(cmf, cmr)
     for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_phase_variant_parity():
+    """fused_ce_cm_phase on phase logits == XLA loss/cm on the interleaved
+    logits; gradients equal the space-to-depth of the full-res gradient."""
+    from kurosiwo_tpu.ops.pallas_tail import fused_ce_cm_phase
+    from kurosiwo_tpu.ops.phase import depth_to_space, space_to_depth
+
+    rs = np.random.RandomState(7)
+    B, H, W = 2, 32, 32  # phase grid; full res 64x64
+    z = jnp.asarray(rs.randn(B, H, W, 12), jnp.float32)
+    labels = jnp.asarray(rs.randint(0, 4, (B, 2 * H, 2 * W)), jnp.int32)
+    cw = jnp.asarray(CW, jnp.float32)
+
+    full = depth_to_space(z)
+    ref_loss = cross_entropy_loss(full, labels, cw)
+    ref_cm = confusion_matrix(jnp.argmax(full, axis=-1), labels)
+    loss, cm = fused_ce_cm_phase(z, labels, cw, True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cm, np.int64), np.asarray(ref_cm, np.int64))
+
+    g_phase = jax.grad(lambda zz: fused_ce_cm_phase(zz, labels, cw, True)[0] * 2.0)(z)
+    g_full = jax.grad(lambda ff: cross_entropy_loss(ff, labels, cw) * 2.0)(full)
+    np.testing.assert_allclose(
+        np.asarray(g_phase), np.asarray(space_to_depth(g_full)), atol=1e-6
+    )
+
+
+def test_phase_variant_bf16_and_padding():
+    from kurosiwo_tpu.ops.pallas_tail import fused_ce_cm_phase
+    from kurosiwo_tpu.ops.phase import depth_to_space
+
+    rs = np.random.RandomState(8)
+    B, H, W = 1, 24, 16  # rows B*H=24 not a multiple of ROWS: padding path
+    z = jnp.asarray(rs.randn(B, H, W, 12), jnp.bfloat16)
+    labels = jnp.asarray(rs.randint(0, 4, (B, 2 * H, 2 * W)), jnp.int32)
+    cw = jnp.asarray(CW, jnp.float32)
+    loss, cm = fused_ce_cm_phase(z, labels, cw, True)
+    full = depth_to_space(z)
+    ref_loss = cross_entropy_loss(full, labels, cw)
+    ref_cm = confusion_matrix(jnp.argmax(full, axis=-1), labels)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-3)
+    np.testing.assert_array_equal(np.asarray(cm, np.int64), np.asarray(ref_cm, np.int64))
+
+
+def test_train_step_phase_tail_vs_xla():
+    """fused_tail='phase' through make_train_step with the real UNet (phase
+    logits emitted by the model) == the XLA-tail step: same loss, cm, and
+    updated params."""
+    import optax
+
+    from kurosiwo_tpu.models.factory import initialize_segmentation_model
+    from kurosiwo_tpu.ops import optim
+    from kurosiwo_tpu.ops.losses import create_loss
+    from kurosiwo_tpu.ops.metrics import MetricState
+    from kurosiwo_tpu.training.state import create_train_state
+    from kurosiwo_tpu.training.steps import make_train_step
+
+    cfg0 = {
+        "task": "segmentation", "method": "unet", "num_classes": 3,
+        "inputs": ["post_event"], "channels": ["vv", "vh"], "num_channels": 2,
+        "class_weights": CW, "weighted": True, "loss_function": "cross_entropy",
+        "batch_size": 2, "optimizer": "adam", "learning_rate": 1e-3,
+        "mixed_precision": False,
+    }
+    mcfg = {"backbone": "resnet18", "learning_rate": 1e-3}
+    rng = np.random.RandomState(0)
+    batch = {
+        "post": jnp.asarray(rng.randn(2, 64, 64, 2), jnp.float32),
+        "mask": jnp.asarray(rng.randint(0, 4, (2, 64, 64)), jnp.int32),
+    }
+    results = {}
+    import kurosiwo_tpu.training.steps as steps_mod
+
+    real = jax.device_count
+    jax.device_count = lambda *a, **k: 1
+    try:
+        for mode in ("phase", None):
+            c = dict(cfg0)
+            if mode:
+                c["fused_tail"] = mode
+            model = initialize_segmentation_model(c, mcfg)
+            tx = optim.create_optimizer(c, mcfg, "segmentation")
+            state, _ = create_train_state(model, tx, jax.random.PRNGKey(0), (batch["post"],))
+            step = make_train_step(model, tx, create_loss(c, "train"), c, mcfg, "segmentation")
+            ms = MetricState.create()
+            new_state, ms, loss = jax.jit(step)(
+                state, batch, ms, jnp.asarray(1e-3, jnp.float32), jax.random.PRNGKey(1)
+            )
+            results[mode] = (float(loss), np.asarray(ms.cm), new_state.params)
+    finally:
+        jax.device_count = real
+    lf, cmf, pf = results["phase"]
+    lr_, cmr, pr = results[None]
+    np.testing.assert_allclose(lf, lr_, rtol=2e-5)
+    np.testing.assert_array_equal(cmf, cmr)
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
+        # adam's first step is ~lr*sign(g); near-zero grads flip sign under
+        # reduction-order noise, so tolerance is a fraction of lr=1e-3
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
