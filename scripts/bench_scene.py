@@ -1,0 +1,103 @@
+"""Whole-scene ViT-L encode throughput with a CONTROLLED protocol.
+
+Round-2 left a 1.7x spread (7.4-12.5 scenes/s) attributed to "tunnel state"
+without evidence. Protocol here (VERDICT r2 item 8): N timed repeats of the
+scene encode BRACKETED by a fixed-size control workload (the UNet-shaped
+matmul chain below) before and after — if the control's two readings agree,
+the session is stable and the scene median is attributable to the code; if
+they disagree, the session is flagged and the numbers discarded.
+
+Usage: python scripts/bench_scene.py [--repeats 7] [--scene 1024]
+Prints one JSON line with median/min/max scenes/s + control readings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def control_ms(n=20):
+    """Fixed compute bracket: a bf16 matmul chain sized ~one UNet fwd step.
+    Stable chips return the same reading +-3%; tunnel degradation shows up
+    as a drifting control."""
+
+    @jax.jit
+    def chain(a, b):
+        def body(i, x):
+            return jnp.tanh(x @ b)
+
+        return jax.lax.fori_loop(0, 40, body, a)
+
+    rs = np.random.RandomState(0)
+    a = jnp.asarray(rs.randn(4096, 4096), jnp.bfloat16)
+    b = jnp.asarray(rs.randn(4096, 4096) * 0.01, jnp.bfloat16)
+    out = chain(a, b)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _i in range(n):
+        out = chain(a, b)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--repeats", type=int, default=7)
+    p.add_argument("--scene", type=int, default=1024)
+    p.add_argument("--inner", type=int, default=8, help="encodes per timed repeat")
+    args = p.parse_args()
+
+    from kurosiwo_tpu.inference import vit_whole_scene
+    from kurosiwo_tpu.models.vit import ViT
+
+    rs = np.random.RandomState(0)
+    scene = rs.randn(args.scene, args.scene, 6).astype(np.float32)
+
+    vit = ViT(image_size=224, patch_size=16, dim=1024, depth=24, heads=16,
+              mlp_dim=2048, channels=6, pool="cls", dtype=jnp.bfloat16)
+    params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 6)))["params"]
+
+    ctrl_before = control_ms()
+
+    # warm (compile) + device-resident scene path
+    out = vit_whole_scene(params, scene)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+
+    rates = []
+    for _r in range(args.repeats):
+        t0 = time.perf_counter()
+        for _i in range(args.inner):
+            out = vit_whole_scene(params, scene)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / args.inner
+        rates.append(1.0 / dt)
+
+    ctrl_after = control_ms()
+    drift = abs(ctrl_after - ctrl_before) / max(ctrl_before, 1e-9)
+    print(json.dumps({
+        "metric": f"whole-scene ViT-L encode, {args.scene}x{args.scene}",
+        "scenes_per_sec_median": float(np.median(rates)),
+        "scenes_per_sec_min": float(min(rates)),
+        "scenes_per_sec_max": float(max(rates)),
+        "repeats": args.repeats,
+        "control_ms_before": ctrl_before,
+        "control_ms_after": ctrl_after,
+        "control_drift_pct": 100 * drift,
+        "session_stable": bool(drift < 0.05),
+    }))
+
+
+if __name__ == "__main__":
+    main()
