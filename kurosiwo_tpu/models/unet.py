@@ -47,6 +47,11 @@ class DecoderBlock(nn.Module):
     dtype: Any = jnp.float32
     phase: bool = False
     fold_up: bool = False
+    # phase WITH a skip (round 3): the whole level runs on the half-res grid
+    # — up-leg folded (no d2s), skip-leg convolved in its s2d view — and the
+    # OUTPUT stays phase-space (B, H, W, 4*features). Targets the 112^2
+    # decoder level whose C=32 convs/dW showed ~3 ms in the r3 profile.
+    phase_skip: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
@@ -55,6 +60,14 @@ class DecoderBlock(nn.Module):
             x = ConvBNAct(self.features, 3, dtype=self.dtype, phase="up")(x, train)
             x = ConvBNAct(self.features, 3, dtype=self.dtype, phase="phase")(x, train)
             return x
+        if self.phase_skip and skip is not None:
+            y = _PhaseSkipConvBN(self.features, dtype=self.dtype, name="ConvBNAct_0")(
+                x, skip, train
+            )
+            y = ConvBNAct(
+                self.features, 3, dtype=self.dtype, phase="phase", name="ConvBNAct_1"
+            )(y, train)
+            return y
         if self.fold_up and skip is not None:
             y = _FoldUpConvBN(self.features, dtype=self.dtype, name="ConvBNAct_0")(
                 x, skip, train
@@ -67,6 +80,41 @@ class DecoderBlock(nn.Module):
         x = ConvBNAct(self.features, 3, dtype=self.dtype)(x, train)
         x = ConvBNAct(self.features, 3, dtype=self.dtype)(x, train)
         return x
+
+
+class _PhaseSkipConvBN(nn.Module):
+    """conv3x3(cat(up2_nearest(x), skip)) + BN + ReLU computed ENTIRELY on
+    the half-res grid with phase-space output: the up-leg kernel fold
+    (fold_up2_kernel, no depth_to_space) plus the skip-leg as a phase conv
+    over the skip's space-to-depth view. Param tree matches ConvBNAct
+    (Conv_0/kernel, BatchNorm_0); exact reparameterization."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        from ..ops.phase import (
+            fold_up2_kernel,
+            phase_batch_unview,
+            phase_batch_view,
+            phase_conv_kernel,
+            space_to_depth,
+        )
+
+        up_c = x.shape[-1]
+        kernel, _ = ConvParams(
+            (3, 3, up_c + skip.shape[-1], self.features), name="Conv_0"
+        )()
+        k_up = fold_up2_kernel(kernel[:, :, :up_c]).astype(self.dtype)
+        k_skip = phase_conv_kernel(kernel[:, :, up_c:]).astype(self.dtype)
+        z = conv_same(x.astype(self.dtype), k_up) + conv_same(
+            space_to_depth(skip).astype(self.dtype), k_skip
+        )
+        z = FusedBatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(phase_batch_view(z))
+        return phase_batch_unview(nn.relu(z))
 
 
 class _FoldUpConvBN(nn.Module):
@@ -123,13 +171,21 @@ class UNet(nn.Module):
         y = feats[-1]
         skips = feats[1:-1][::-1] + [None]  # [/16, /8, /4, /2, None]
         use_phase = self.phase_finale and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        for ch, skip in zip(self.decoder_channels, skips):
+        # the /2-skip level (index 3) runs fully in phase space when the skip
+        # grid is even too (needs input divisible by 4)
+        phase_l4 = use_phase and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
+            block_phase_skip = phase_l4 and i == 3
             y = DecoderBlock(
                 ch,
                 dtype=self.dtype,
                 phase=use_phase and skip is None,
                 fold_up=self.phase_finale,
+                phase_skip=block_phase_skip,
             )(y, skip, train)
+            if block_phase_skip:
+                # next level's "up" fold expects the normal-space 112^2 map
+                y = depth_to_space(y)
         if use_phase:
             kernel, bias = ConvParams(
                 (3, 3, self.decoder_channels[-1], self.num_classes), use_bias=True, name="head"
