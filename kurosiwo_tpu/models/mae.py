@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.fused_ln import LayerNorm as FusedLayerNorm
+
 from .vit import Transformer, ViT, patchify
 
 

@@ -18,6 +18,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ..ops.fused_ln import LayerNorm as FusedLayerNorm
 from einops import rearrange
 
 from ..ops.attention import attention
@@ -30,7 +32,7 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = FusedLayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
@@ -47,7 +49,7 @@ class SelfAttention(nn.Module):
     def __call__(self, x):
         inner = self.dim_head * self.heads
         project_out = not (self.heads == 1 and self.dim_head == self.dim)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = FusedLayerNorm(dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads)
@@ -71,7 +73,7 @@ class Transformer(nn.Module):
         for i in range(self.depth):
             x = SelfAttention(self.dim, self.heads, self.dim_head, self.dtype, name=f"attn_{i}")(x) + x
             x = FeedForward(self.dim, self.mlp_dim, self.dtype, name=f"ff_{i}")(x) + x
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return FusedLayerNorm(dtype=self.dtype, name="norm")(x)
 
 
 def patchify(img: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -101,9 +103,9 @@ class ViT(nn.Module):
 
     def setup(self):
         num_patches = (self.image_size // self.patch_size) ** 2
-        self.patch_norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.patch_norm1 = FusedLayerNorm(dtype=self.dtype)
         self.patch_proj = nn.Dense(self.dim, dtype=self.dtype)
-        self.patch_norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.patch_norm2 = FusedLayerNorm(dtype=self.dtype)
         self.pos_embedding = self.param(
             "pos_embedding", nn.initializers.normal(1.0), (1, num_patches + 1, self.dim), jnp.float32
         )
