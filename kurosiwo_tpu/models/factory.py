@@ -110,7 +110,12 @@ def initialize_cd_model(config: dict, model_config: dict, phase: str = "train"):
         return SNUNetECAM(
             num_classes=nc, base_channel=model_config.get("base_channel", 32),
             remat=bool(remat),
-            phase_l0=bool(config.get("snunet_phase", True)),
+            # phase-space levels measured 246 -> 146 patches/s at b128:
+            # the folded 3x3 phase kernels burn 2.25x dense FLOPs
+            # (structural-zero taps), which outweighs the lane-padding
+            # win — XLA already handles the canonical small-C convs
+            # better than the naive 25%-lane model predicts. Opt-in only.
+            phase_l0=bool(config.get("snunet_phase", False)),
             dtype=dt,
         )
     if method == "bit-cd":

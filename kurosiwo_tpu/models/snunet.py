@@ -223,12 +223,13 @@ class SNUNetECAM(nn.Module):
     num_classes: int
     base_channel: int = 32
     remat: bool = False  # column-granular decoder remat (see module docstring)
-    # run the level-0 and level-1 rows of the nested grid in phase
-    # (space-to-depth) space: their 22 convs are C=32 @ 224^2 / C=64 @ 112^2
-    # canonically (25% / 50% MXU lane efficiency) and C=128 @ 112^2 /
-    # C=256 @ 56^2 folded — exact reparameterization, checkpoints unchanged
-    phase_l0: bool = True
-    phase_l1: bool = True
+    # OPT-IN (measured regression as default): run the level-0/level-1 rows
+    # in phase (space-to-depth) space — exact reparameterization, checkpoints
+    # unchanged, but the folded 3x3 phase kernels carry structural-zero taps
+    # (2.25x dense FLOPs) and measured 246 -> 146 patches/s at batch 128.
+    # Kept as tested infrastructure + the measured lesson (docs/performance.md)
+    phase_l0: bool = False  # measured: 246 -> 146 p/s at b128 (see factory.py)
+    phase_l1: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
