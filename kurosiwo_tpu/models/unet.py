@@ -158,6 +158,7 @@ class UNet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
     phase_finale: bool = True
+    phase_level4: bool = False  # measured regression as default; see __call__
     # emit the head's PHASE-space logits (B, H/2, W/2, 4*num_classes) without
     # the depth_to_space interleave — for the phase-native fused loss tail
     # (ops/pallas_tail.fused_ce_cm_phase), whose backward also stays in phase
@@ -171,9 +172,15 @@ class UNet(nn.Module):
         y = feats[-1]
         skips = feats[1:-1][::-1] + [None]  # [/16, /8, /4, /2, None]
         use_phase = self.phase_finale and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        # the /2-skip level (index 3) runs fully in phase space when the skip
-        # grid is even too (needs input divisible by 4)
-        phase_l4 = use_phase and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        # OPT-IN ONLY (measured 3,266 -> 2,867 patches/s): running the
+        # /2-skip level in phase space burns 2.25x dense FLOPs in the folded
+        # 3x3 kernels with no HBM win (fold_up already removed the upsample
+        # materialization here). Phase-space pays only where it removes HBM
+        # traffic — the skip-less finale — not as a lane-width fix.
+        phase_l4 = (
+            self.phase_level4 and use_phase
+            and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        )
         for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
             block_phase_skip = phase_l4 and i == 3
             y = DecoderBlock(
