@@ -111,10 +111,13 @@ class _PhaseSkipConvBN(nn.Module):
         z = conv_same(x.astype(self.dtype), k_up) + conv_same(
             space_to_depth(skip).astype(self.dtype), k_skip
         )
-        z = FusedBatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
-        )(phase_batch_view(z))
-        return phase_batch_unview(nn.relu(z))
+        from ..ops.pallas_bn import PhaseGroupBatchNorm
+
+        z = PhaseGroupBatchNorm(
+            use_running_average=not train, groups=4, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="BatchNorm_0",
+        )(z)
+        return nn.relu(z)
 
 
 class _FoldUpConvBN(nn.Module):

@@ -181,12 +181,18 @@ class ConvBNAct(nn.Module):
             kernel, _ = ConvParams((3, 3, cin, self.features), name="Conv_0")()
             fold = fold_up2_kernel if self.phase == "up" else phase_conv_kernel
             z = conv_same(x.astype(self.dtype), fold(kernel).astype(self.dtype))
-            z = FusedBatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
-            )(phase_batch_view(z))
+            # BN on the NATIVE (…, 4C) layout: the old phase_batch_view path
+            # reduced/normalized 16-LANE tensors at the finale (1/8 lane
+            # utilization, ~3.7 ms of the r3 profile)
+            from .pallas_bn import PhaseGroupBatchNorm
+
+            z = PhaseGroupBatchNorm(
+                use_running_average=not train, groups=4, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0",
+            )(z)
             if self.act is not None:
                 z = self.act(z)
-            return phase_batch_unview(z)
+            return z
         pad = self.padding if self.padding is not None else self.dilation * (self.kernel // 2)
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]

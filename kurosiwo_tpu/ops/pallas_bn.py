@@ -241,6 +241,103 @@ def _bn_bwd(eps, interpret, res, cts):
 bn_train_apply.defvjp(_bn_fwd, _bn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Phase-group variant (round 3): BatchNorm over a PHASE-SPACE tensor
+# (B, H, W, g*C) whose canonical channels repeat phase-major. The original
+# path reshaped to (B, H, g*W, C) first (phase_batch_view) — at the decoder
+# finale that is a 16-LANE tensor, so every stats/normalize/backward pass ran
+# at 1/8 lane utilization (~3.7 ms of the r3 profile). Here all passes stay
+# on the native g*C-wide layout; the per-phase partial sums are folded to
+# canonical channels afterwards (a (g, C) reduce of a vector — free).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bn_train_apply_phase(x, scale, bias, eps: float, groups: int, interpret: bool = False):
+    """Training-mode BN of the interleaved full-res map, computed on its
+    phase tensor: x (..., groups*C), scale/bias (C,). Returns (y, mean, var)
+    with canonical (C,) statistics — numerically identical to BN after
+    depth_to_space."""
+    y, mean, var, _ = _bn_phase_fwd_core(x, scale, bias, eps, groups, interpret)
+    return y, mean, var
+
+
+def _fold_groups(v, groups):
+    return v.reshape(groups, -1).sum(axis=0)
+
+
+def _bn_phase_fwd_core(x, scale, bias, eps, groups, interpret):
+    c = x.shape[-1] // groups
+    n = x.size // c  # elements per CANONICAL channel
+    s1f, s2f = pair_sums(x, x, interpret=interpret)
+    mean = _fold_groups(s1f, groups) / n
+    var = _fold_groups(s2f, groups) / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    dt = x.dtype
+    a = jnp.tile(inv * scale, groups).astype(dt)
+    b = jnp.tile(bias - mean * inv * scale, groups).astype(dt)
+    y = x * a + b
+    return y, mean, var, inv
+
+
+def _bn_phase_fwd(x, scale, bias, eps, groups, interpret):
+    y, mean, var, inv = _bn_phase_fwd_core(x, scale, bias, eps, groups, interpret)
+    return (y, mean, var), (x, mean, inv, scale)
+
+
+def _bn_phase_bwd(eps, groups, interpret, res, cts):
+    dy, _dmean, _dvar = cts
+    x, mean, inv, scale = res
+    c = x.shape[-1] // groups
+    n = x.size // c
+    sum_dy_f, sum_dyx_f = pair_sums(dy, x, interpret=interpret)
+    dbeta = _fold_groups(sum_dy_f, groups)
+    dgamma = inv * (_fold_groups(sum_dyx_f, groups) - mean * dbeta)
+    dt = x.dtype
+    a_f = scale * inv
+    b_f = -a_f * inv * dgamma / n
+    c_f = -a_f * (dbeta / n) - b_f * mean
+    dx = dy * jnp.tile(a_f, groups).astype(dt) + x * jnp.tile(b_f, groups).astype(dt) \
+        + jnp.tile(c_f, groups).astype(dt)
+    return dx, dgamma, dbeta
+
+
+bn_train_apply_phase.defvjp(_bn_phase_fwd, _bn_phase_bwd)
+
+
+class PhaseGroupBatchNorm(nn.Module):
+    """BatchNorm for phase-space tensors (B, H, W, groups*C): canonical (C,)
+    params/stats, all tensor passes on the native wide layout. Drop-in for
+    `FusedBatchNorm(phase_batch_view(z))` (same BatchNorm_N param subtree —
+    pass name="BatchNorm_0" explicitly where auto-naming differs)."""
+
+    use_running_average: bool
+    groups: int = 4
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: object = None
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // self.groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        out_dtype = self.dtype or x.dtype
+        if self.use_running_average:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a = jnp.tile(inv * scale, self.groups)
+            b = jnp.tile(bias - ra_mean.value * inv * scale, self.groups)
+            return (x.astype(jnp.float32) * a + b).astype(out_dtype)
+        y, mean, var = bn_train_apply_phase(
+            x.astype(out_dtype), scale, bias, self.epsilon, self.groups, self.interpret
+        )
+        if not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        return y
+
+
 def _use_pallas() -> bool:
     """Mosaic kernel path is OPT-IN (KUROSIWO_PALLAS_BN=1) and TPU-only:
     in-step it measured 3.5x slower than the XLA reduces (see module

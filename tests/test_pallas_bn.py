@@ -112,3 +112,56 @@ def test_pair_sums_partitions_on_mesh():
     ref2 = (x.reshape(-1, 16) ** 2).sum(0)
     np.testing.assert_allclose(np.asarray(out[0]), ref1, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out[1]), ref2, rtol=1e-5, atol=1e-4)
+
+
+def test_phase_group_bn_matches_interleaved_bn():
+    """PhaseGroupBatchNorm on a phase tensor == flax BatchNorm on its
+    depth_to_space interleave (values, stats, grads)."""
+    import flax.linen as nn_
+
+    from kurosiwo_tpu.ops.pallas_bn import PhaseGroupBatchNorm
+    from kurosiwo_tpu.ops.phase import depth_to_space, space_to_depth
+
+    rs = np.random.RandomState(0)
+    full = jnp.asarray(rs.randn(2, 16, 16, 8) * 2 + 1, jnp.float32)
+    z = space_to_depth(full)  # (2, 8, 8, 32)
+
+    ref = nn_.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    ours = PhaseGroupBatchNorm(use_running_average=False, groups=4)
+    v_ref = ref.init(jax.random.PRNGKey(0), full)
+    v = ours.init(jax.random.PRNGKey(0), z)
+    sc = jnp.asarray(rs.rand(8) + 0.5, jnp.float32)
+    bi = jnp.asarray(rs.randn(8) * 0.2, jnp.float32)
+    params = {"scale": sc, "bias": bi}
+    stats = {"mean": jnp.zeros(8), "var": jnp.ones(8)}
+
+    y_ref, mut_ref = ref.apply(
+        {"params": params, "batch_stats": stats}, full, mutable=["batch_stats"]
+    )
+    y, mut = ours.apply(
+        {"params": params, "batch_stats": stats}, z, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(depth_to_space(y)), np.asarray(y_ref), atol=2e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"][k]), np.asarray(mut_ref["batch_stats"][k]),
+            rtol=2e-5,
+        )
+
+    t = jnp.asarray(rs.randn(*full.shape), jnp.float32)
+
+    def loss_ours(p, zz):
+        y, _ = ours.apply({"params": p, "batch_stats": stats}, zz, mutable=["batch_stats"])
+        return jnp.sum((depth_to_space(y) - t) ** 2)
+
+    def loss_ref(p, ff):
+        y, _ = ref.apply({"params": p, "batch_stats": stats}, ff, mutable=["batch_stats"])
+        return jnp.sum((y - t) ** 2)
+
+    gp, gz = jax.grad(loss_ours, argnums=(0, 1))(params, z)
+    gpr, gfr = jax.grad(loss_ref, argnums=(0, 1))(params, full)
+    np.testing.assert_allclose(np.asarray(gp["scale"]), np.asarray(gpr["scale"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp["bias"]), np.asarray(gpr["bias"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(gz)), np.asarray(gfr), atol=1e-4
+    )
