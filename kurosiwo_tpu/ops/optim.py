@@ -139,13 +139,19 @@ def create_optimizer(config: dict, model_config: dict, task: str = "segmentation
                                         "bfloat16" if task == "mae" else "float32"))
         )
         adam = adam_bf16_moments if moment_dtype == "bfloat16" else optax.adam
+        # NOTE: inject_hyperparams converts injected floats to the update
+        # dtype — with bf16 gradient handoff that rounds b2=0.999 and eps,
+        # blowing up the bias correction (measured NaN on step 1). The lambda
+        # closes over everything but learning_rate, so only lr is injected.
         if lr_scales:
             return optax.inject_hyperparams(
                 lambda learning_rate: optax.chain(
                     adam(learning_rate), lr_scale_by_path(lr_scales)
                 )
             )(learning_rate=lr)
-        return optax.inject_hyperparams(adam)(learning_rate=lr)
+        return optax.inject_hyperparams(
+            lambda learning_rate: adam(learning_rate)
+        )(learning_rate=lr)
 
     # change detection / recurrent
     method = config.get("method", "")

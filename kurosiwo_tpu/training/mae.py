@@ -26,7 +26,7 @@ from .checkpoint import CheckpointManager
 from .state import TrainState, create_train_state
 
 
-def make_mae_train_step(model, tx, accum: int):
+def make_mae_train_step(model, tx, accum: int, bf16_grads: bool = True):
     def train_step(state: TrainState, batch, lr, rng):
         images = batch["image"]
         b = images.shape[0]
@@ -48,7 +48,14 @@ def make_mae_train_step(model, tx, accum: int):
         (grads, loss_sum), _ = jax.lax.scan(
             scan_body, (zero_grads, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
         )
-        grads = jax.tree.map(lambda g: g / accum, grads)
+        # bf16 gradient handoff to the optimizer: the 307M-param f32 gradient
+        # costs ~2 full HBM passes between backward and optimizer; bf16
+        # halves them. Arithmetic inside scale_by_adam_bf16 upcasts to f32,
+        # and the accumulation above stays f32 (scan carry) — only the final
+        # handoff is rounded (same tolerance class as the bf16 moments;
+        # covered by test_schedules_optim torch-parity).
+        gdt = jnp.bfloat16 if bf16_grads else jnp.float32
+        grads = jax.tree.map(lambda g: (g / accum).astype(gdt), grads)
         updates, new_opt = tx.update(grads, optim.inject_lr(state.opt_state, lr), state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         return (
@@ -86,7 +93,8 @@ def train(configs: dict, seed: int = 999, model_configs: dict | None = None, max
         configs["lr"], float(configs.get("min_lr", 0.0)), float(configs.get("warmup_epochs", 10)), float(configs.get("epochs", 1))
     )
     step_fn = jax.jit(
-        make_mae_train_step(model, tx, accum),
+        make_mae_train_step(model, tx, accum,
+                            bf16_grads=str(configs.get('optimizer_moment_dtype', 'bfloat16')) == 'bfloat16'),
         in_shardings=(replicated(plan), batch_sharding(plan), replicated(plan), replicated(plan)),
         out_shardings=(replicated(plan), replicated(plan)),
         donate_argnums=(0,),
