@@ -39,11 +39,12 @@ def initialize_segmentation_model(config: dict, model_config: dict):
             model=unet, timesteps=int(mc.get("timesteps", 1000)), loss_type="l1"
         )
     if method == "unet":
+        from ..ops.pallas_tail import resolve_fused_tail
         from .unet import UNet
 
         return UNet(
             num_classes=nc, backbone=model_config.get("backbone", "resnet18"), dtype=dt,
-            return_phase_logits=config.get("fused_tail") == "phase",
+            return_phase_logits=resolve_fused_tail(config) == "phase",
         )
     if method in ("unetplusplus", "unet++"):
         from .unet import UNetPlusPlus

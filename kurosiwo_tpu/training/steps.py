@@ -140,13 +140,18 @@ def make_train_step(
     use_remat = bool(config.get("remat")) and config.get("method") != "snunet"
     # fused Pallas loss/metrics tail (ops/pallas_tail.py): one pass for the
     # weighted CE + confusion matrix, replacing the one-hot formulations.
-    # DEFAULT OFF (measured): on the UNet-b128 step the class-plane split
-    # reads the decoder's phase-space logits layout and XLA materializes
-    # three (B,112,2,112,2) reshapes + copies (~11 ms, 3,266 -> 2,657
-    # patches/s — BENCH r3 interim; same lesson as ops/pallas_bn.py: opaque
-    # consumers of conv outputs force relayouts). Config "fused_tail": true
-    # opts in (interpret-mode on CPU, for tests).
-    fused_flag = config.get("fused_tail")
+    # Auto-default (resolve_fused_tail): the PHASE-native variant for the
+    # UNet segmentation step on one TPU chip — it consumes the decoder's
+    # phase-space logits in their interleaved lane order and was measured
+    # +2.4% end-to-end (3,279 -> 3,357, r3 same-session A/B). The plane-split
+    # variant ("fused_tail": true) stays opt-in only: slicing class planes
+    # out of phase-layout logits materializes three (B,112,2,112,2)
+    # reshapes + copies (~11 ms, 3,266 -> 2,657 — same lesson as
+    # ops/pallas_bn.py: opaque consumers of conv outputs force relayouts).
+    # CPU runs interpret-mode (tests); "fused_tail": false forces XLA tail.
+    from ..ops.pallas_tail import resolve_fused_tail
+
+    fused_flag = resolve_fused_tail(config, task)
     fused_eligible = (
         config.get("loss_function", "cross_entropy") == "cross_entropy"
         and int(config.get("num_classes", 3)) == 3
@@ -262,8 +267,10 @@ def make_eval_step(
         mask = batch["mask"]
         out, _ = _forward(model, state.params, state.batch_stats, model_inputs, False)
         logits, _ = _combine_multiscale(out, config, model_config, False)
+        from ..ops.pallas_tail import resolve_fused_tail
+
         if (
-            config.get("fused_tail") == "phase"
+            resolve_fused_tail(config, task) == "phase"
             and logits.ndim == 4
             and logits.shape[1] * 2 == mask.shape[1]
         ):
