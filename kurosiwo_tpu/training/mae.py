@@ -37,17 +37,24 @@ def make_mae_train_step(model, tx, accum: int, bf16_grads: bool = True):
         def loss_for(params, imgs, r):
             return model.apply({"params": params}, imgs, rngs={"mask": r, "dropout": r})
 
-        def scan_body(carry, xs):
-            grads_acc, loss_acc = carry
-            imgs, r = xs
-            loss, grads = jax.value_and_grad(loss_for)(state.params, imgs, r)
-            grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
-            return (grads_acc, loss_acc + loss), None
+        if accum == 1:
+            # no-accumulation fast path: the scan formulation would carry a
+            # full 307M-param zero-grad pytree (zeros write + add + carry
+            # copy = ~5 GB of pure HBM traffic per step on ViT-L f32)
+            loss_sum, grads = jax.value_and_grad(loss_for)(state.params, micro_batches[0], rngs[0])
+        else:
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (grads, loss_sum), _ = jax.lax.scan(
-            scan_body, (zero_grads, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
-        )
+            def scan_body(carry, xs):
+                grads_acc, loss_acc = carry
+                imgs, r = xs
+                loss, grads = jax.value_and_grad(loss_for)(state.params, imgs, r)
+                grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum), _ = jax.lax.scan(
+                scan_body, (zero_grads, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
+            )
         # bf16 gradient handoff to the optimizer: the 307M-param f32 gradient
         # costs ~2 full HBM passes between backward and optimizer; bf16
         # halves them. Arithmetic inside scale_by_adam_bf16 upcasts to f32,
