@@ -233,3 +233,36 @@ def test_train_step_phase_tail_vs_xla():
         # adam's first step is ~lr*sign(g); near-zero grads flip sign under
         # reduction-order noise, so tolerance is a fraction of lr=1e-3
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_resolve_fused_tail_auto():
+    """Auto default: phase-native kernel only for unet/seg/CE/3-class on ONE
+    TPU chip; explicit config always wins; CPU (this suite) resolves None."""
+    from kurosiwo_tpu.ops.pallas_tail import resolve_fused_tail
+
+    base = {"method": "unet", "loss_function": "cross_entropy", "num_classes": 3}
+    # this suite runs on the virtual CPU mesh -> auto resolves to the XLA tail
+    assert resolve_fused_tail(base) is None
+    # explicit values are honored verbatim (False coerces to None = XLA tail)
+    assert resolve_fused_tail({**base, "fused_tail": "phase"}) == "phase"
+    assert resolve_fused_tail({**base, "fused_tail": True}) is True
+    assert resolve_fused_tail({**base, "fused_tail": False}) is None
+
+    # on a single TPU chip the auto default turns on exactly for the
+    # unet segmentation config (simulate backend/device count)
+    import jax
+
+    real_count, real_backend = jax.device_count, jax.default_backend
+    jax.device_count = lambda: 1
+    jax.default_backend = lambda: "tpu"
+    try:
+        assert resolve_fused_tail(base) == "phase"
+        assert resolve_fused_tail(base, task="cd") is None
+        assert resolve_fused_tail({**base, "method": "snunet"}) is None
+        assert resolve_fused_tail({**base, "num_classes": 2}) is None
+        assert resolve_fused_tail({**base, "loss_function": "dice"}) is None
+        assert resolve_fused_tail({**base, "log_zone_metrics": True}) is None
+        jax.device_count = lambda: 8
+        assert resolve_fused_tail(base) is None
+    finally:
+        jax.device_count, jax.default_backend = real_count, real_backend
