@@ -110,6 +110,8 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--remat", action="store_true", help="gradient checkpointing")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=JSONVAL",
+                   help="config override(s) for A/B experiments, e.g. --set snunet_save_bn_stats=false")
     p.add_argument("--fused_tail", default=None, choices=["phase", "plane", "off"],
                    help="loss/metrics tail override; default auto = phase-native "
                         "Pallas kernel for unet on one TPU chip (measured +2.4%%)")
@@ -136,6 +138,12 @@ def main():
         cfg["fused_tail"] = {"phase": "phase", "plane": True, "off": False}[args.fused_tail]
     if args.remat:
         cfg["remat"] = True
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        try:
+            cfg[k] = json.loads(v)
+        except json.JSONDecodeError:
+            cfg[k] = v
     task = "cd" if cfg["task"] == "cd" else "segmentation"
     mcfg = {"backbone": "resnet18", "learning_rate": 1e-3, "base_channel": 32, "optimizer": "adam"}
 

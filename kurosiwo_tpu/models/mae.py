@@ -45,11 +45,14 @@ class MAE(nn.Module):
             rng = self.make_rng("mask")
         enc = self.encoder
         patch = enc.patch_size
-        patches = patchify(img, patch)  # (B, N, p*p*C)
-        b, num_patches, patch_dim = patches.shape
+        tokens = enc.embed_image(img)  # (B, N, dim) — no 6-D patch transpose
+        b, num_patches, _ = tokens.shape
+        patch_dim = patch * patch * img.shape[-1]
         num_masked = int(self.masking_ratio * num_patches)
-
-        tokens = enc.embed_patches(patches)
+        # reconstruction TARGETS: patchify in the compute dtype (identity
+        # data movement — casting before or after yields the same values,
+        # and take() already cast to tokens.dtype); forward-only, no params
+        patches = patchify(img.astype(tokens.dtype), patch)
         if enc.pool == "cls":
             tokens = tokens + enc.pos_embedding[:, 1 : num_patches + 1].astype(tokens.dtype)
         else:

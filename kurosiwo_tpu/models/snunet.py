@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.nn import ChannelAttention, ConvTranspose2x, max_pool
+from ..ops.nn import (
+    ChannelAttention,
+    ConvTranspose2x,
+    StatCheckpointBatchNorm,
+    bn_stats_saveable_policy,
+    max_pool,
+)
 
 
 class ConvBlockNested(nn.Module):
@@ -103,14 +109,14 @@ class ConvBlockNested(nn.Module):
                 off += cpart
             identity = x
             x = phase_batch_view(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            x = StatCheckpointBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype, name="bn1")(x)
             x = nn.relu(x)
             k2, b2 = ConvParams((3, 3, self.mid_ch, self.out_ch), use_bias=True, name="conv2")()
             x = phase_batch_unview(x)
             x = conv_same(x, phase_conv_kernel(k2).astype(self.dtype)) + jnp.tile(b2, 4).astype(self.dtype)
             x = phase_batch_view(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            x = StatCheckpointBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype, name="bn2")(x)
             x = phase_batch_unview(x)
             return nn.relu(x + identity)
@@ -138,10 +144,10 @@ class ConvBlockNested(nn.Module):
             x = x + conv_same(g.astype(self.dtype), kp)
             off += g.shape[-1]
         identity = x
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = StatCheckpointBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=True, dtype=self.dtype, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
+        x = StatCheckpointBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         return nn.relu(x + identity)
 
 
@@ -215,14 +221,21 @@ class _PhaseFinalConv(nn.Module):
         return y + jnp.tile(b, 4).astype(self.dtype)
 
 
-def _block_cls(remat: bool):
-    return nn.remat(ConvBlockNested, static_argnums=(2,)) if remat else ConvBlockNested
+def _block_cls(remat: bool, save_bn_stats: bool = True):
+    if not remat:
+        return ConvBlockNested
+    policy = bn_stats_saveable_policy() if save_bn_stats else None
+    return nn.remat(ConvBlockNested, static_argnums=(2,), policy=policy)
 
 
 class SNUNetECAM(nn.Module):
     num_classes: int
     base_channel: int = 32
     remat: bool = False  # column-granular decoder remat (see module docstring)
+    # save the (C,)-sized BN batch statistics across the remat boundaries so
+    # the backward recompute skips the activation-sized stat reductions
+    # (r3 profile: convert_reduce_fusion = 129 ms of the 518 ms b128 step)
+    save_bn_stats: bool = True
     # OPT-IN (measured regression as default): run the level-0/level-1 rows
     # in phase (space-to-depth) space — exact reparameterization, checkpoints
     # unchanged, but the folded 3x3 phase kernels carry structural-zero taps
@@ -239,7 +252,7 @@ class SNUNetECAM(nn.Module):
         ph = self.phase_l0
         ph1 = self.phase_l0 and self.phase_l1
         # encoder blocks: per-block remat (inputs live on as skip features)
-        EncBlock = _block_cls(self.remat)
+        EncBlock = _block_cls(self.remat, self.save_bn_stats)
         self.conv0_0 = EncBlock(f[0], f[0], dt, phase=ph)
         self.conv1_0 = EncBlock(f[1], f[1], dt, pre_pool=not ph, pre_pool_phase=ph, phase=ph1)
         self.conv2_0 = EncBlock(f[2], f[2], dt, pre_pool=not ph1, pre_pool_phase=ph1)
@@ -371,7 +384,11 @@ class SNUNetECAM(nn.Module):
 
         if self.remat:
             col1, col2, col3, col4, ecam_head = (
-                nn.remat(fn) for fn in (col1, col2, col3, col4, ecam_head)
+                nn.remat(
+                    fn,
+                    policy=bn_stats_saveable_policy() if self.save_bn_stats else None,
+                )
+                for fn in (col1, col2, col3, col4, ecam_head)
             )
 
         x0_1, x1_1, x2_1, x3_1 = col1(

@@ -119,8 +119,53 @@ class ViT(nn.Module):
         """patch pixels -> tokens (LN -> Linear -> LN), no positions."""
         return self.patch_norm2(self.patch_proj(self.patch_norm1(patches)))
 
+    def embed_image(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Tokens directly from the NHWC image — same math as
+        ``embed_patches(patchify(img, p))`` without materializing the 6-D
+        patch transpose (r3 MAE profile: ~16 ms/step of pure copies/reshapes
+        at ViT-L b64, 17% of the step).
+
+        * the per-patch LayerNorm statistics are strided reductions over the
+          contiguous (B, h, p, w, p, C) *view* of the image — no transpose;
+        * the LN scale folds into the projection kernel reshaped to an HWIO
+          conv kernel (patchify element order (p1, p2, c) IS the reshape
+          order), and the LN bias becomes a constant output offset;
+        * one stride-p VALID convolution replaces transpose + matmul.
+
+        Numerics match embed_patches up to reduction order / bf16 rounding
+        placement (parity-tested at 1e-5 f32 in tests/test_models.py).
+        """
+        p = self.patch_size
+        b, hh, ww, c = img.shape
+        h, w = hh // p, ww // p
+        d = p * p * c
+        # materialize the submodule params without running the patch path
+        # (the dummy results are dead code under XLA; param tree unchanged)
+        _ = self.patch_norm1(jnp.zeros((1, d), jnp.float32))
+        _ = self.patch_proj(jnp.zeros((1, d), jnp.float32))
+        gamma = self.patch_norm1.variables["params"]["scale"]
+        beta = self.patch_norm1.variables["params"]["bias"]
+        kernel = self.patch_proj.variables["params"]["kernel"]  # (d, dim)
+        dbias = self.patch_proj.variables["params"]["bias"]
+
+        xf = img.astype(jnp.float32).reshape(b, h, p, w, p, c)
+        mu = jnp.mean(xf, axis=(2, 4, 5))[:, :, None, :, None, None]  # (B,h,1,w,1,1)
+        m2 = jnp.mean(jnp.square(xf), axis=(2, 4, 5))[:, :, None, :, None, None]
+        rstd = jax.lax.rsqrt(m2 - jnp.square(mu) + self.patch_norm1.epsilon)
+        dt = img.dtype if self.dtype is None else self.dtype
+        xn = ((xf - mu) * rstd).astype(dt).reshape(b, hh, ww, c)
+
+        kf = (kernel * gamma[:, None]).reshape(p, p, c, self.dim)
+        offset = beta @ kernel + dbias  # (dim,) f32
+        y = jax.lax.conv_general_dilated(
+            xn, kf.astype(dt), (p, p), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = (y + offset.astype(dt)).reshape(b, h * w, self.dim)
+        return self.patch_norm2(y)
+
     def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
-        x = self.embed_patches(patchify(img, self.patch_size))
+        x = self.embed_image(img)
         b, n, _ = x.shape
         cls = jnp.tile(self.cls_token.astype(x.dtype), (b, 1, 1))
         x = jnp.concatenate([cls, x], axis=1)

@@ -215,20 +215,63 @@ class ConvBNAct(nn.Module):
 
 class ConvTranspose2x(nn.Module):
     """torch ConvTranspose2d(C_in, C_out, kernel=2, stride=2) — exact 2x
-    upsample. Delegates to TorchConvTranspose so checkpoint conversion uses
-    one weight-layout rule for every transposed conv in the zoo."""
+    upsample. Parameter tree matches TorchConvTranspose (up/kernel in the
+    torch (2, 2, C_out, C_in) layout + up/bias) so checkpoint conversion
+    uses one weight-layout rule for every transposed conv in the zoo.
+
+    Computed as conv1x1 to 4*C_out phase channels + depth_to_space: the
+    k2/s2 windows don't overlap, so each output phase (a, b) is exactly
+    x @ w[a, b] (ops/phase.fold_tconv2x_kernel). The lhs-dilated-conv
+    formulation (TorchConvTranspose, `via_phase=False`) made XLA
+    materialize the zero-dilated input and kernel reverses — ~45 ms/step
+    across SNUNet's 10 up legs in the r3 b128 profile
+    (constant_dynamic-update-slice 19.8 + reverse 15.3 + slice_add 9.4 ms);
+    the phase form is one MXU matmul plus a broadcast-reshape interleave."""
 
     features: int
     kernel: int = 2
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    via_phase: bool = True
 
     @nn.compact
     def __call__(self, x):
-        return TorchConvTranspose(
-            self.features, self.kernel, stride=2, padding=0,
-            use_bias=self.use_bias, dtype=self.dtype, name="up",
-        )(x)
+        if not self.via_phase:
+            return TorchConvTranspose(
+                self.features, self.kernel, stride=2, padding=0,
+                use_bias=self.use_bias, dtype=self.dtype, name="up",
+            )(x)
+        from .phase import depth_to_space, fold_tconv2x_kernel
+
+        class _P(nn.Module):
+            feats: int
+            use_bias: bool
+
+            @nn.compact
+            def __call__(self, cin):
+                k = self.param(
+                    "kernel",
+                    nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform", in_axis=(0, 1, 3)),
+                    (2, 2, self.feats, cin),
+                    jnp.float32,
+                )
+                b = (
+                    self.param("bias", nn.initializers.zeros, (self.feats,), jnp.float32)
+                    if self.use_bias
+                    else None
+                )
+                return k, b
+
+        kernel, bias = _P(self.features, self.use_bias, name="up")(x.shape[-1])
+        kp = fold_tconv2x_kernel(kernel).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = depth_to_space(y)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class TorchConvTranspose(nn.Module):
@@ -316,3 +359,94 @@ class Dropout2d(nn.Module):
 
 def log_softmax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jax.nn.log_softmax(x, axis=axis)
+
+
+class StatCheckpointBatchNorm(nn.BatchNorm):
+    """flax.linen.BatchNorm whose batch statistics are tagged with
+    ``checkpoint_name('bn_stats')`` so a rematerialized caller can use the
+    ``save_only_these_names('bn_stats')`` policy: the tiny (C,) f32 mean/var
+    survive the remat boundary and the backward recompute skips the
+    activation-sized statistic reductions entirely.
+
+    Motivation (docs/performance.md, r3 SNUNet profile): at batch 128 the
+    column-remat plan re-reduces every BN input in the backward pass —
+    `convert_reduce_fusion` alone was 129 ms of the 518 ms step (25%), and
+    roughly half of those passes are recomputes whose only products are the
+    statistics. Saving the stats costs ~2 x C floats per BN (~30 KB total)
+    against ~GB-scale activations.
+
+    Numerics are EXACTLY flax BatchNorm (same `_compute_stats`/`_normalize`
+    helpers; checkpoint_name is an identity in the forward pass), so the
+    torch-oracle checkpoint parity is untouched.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None, *, mask=None):
+        from flax.linen import module as _fmodule
+        from flax.linen import normalization as _fnorm
+        from jax.ad_checkpoint import checkpoint_name
+
+        use_running_average = _fmodule.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _fnorm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stat_dtype = jnp.float32 if self.force_float32_reductions else self.param_dtype
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, stat_dtype), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, stat_dtype), feature_shape
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = _fnorm._compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            mean = checkpoint_name(mean, "bn_stats")
+            var = checkpoint_name(var, "bn_stats")
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        return _fnorm._normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
+def bn_stats_saveable_policy():
+    """Remat policy pairing with StatCheckpointBatchNorm."""
+    return jax.checkpoint_policies.save_only_these_names("bn_stats")

@@ -107,3 +107,19 @@ def test_patchify_roundtrip():
     assert p.shape == (1, 4, 16 * 16 * 2)
     back = unpatchify(p, 16, 32, 32, 2)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_vit_embed_image_matches_embed_patches():
+    """embed_image (strided-view stats + folded conv) must match the
+    patchify->LN->Dense->LN path it replaces (r3 MAE copy-elimination)."""
+    import numpy as np
+
+    from kurosiwo_tpu.models.vit import ViT, patchify
+
+    m = ViT(image_size=64, patch_size=16, dim=96, depth=1, heads=2,
+            mlp_dim=128, channels=6, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 6), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    a = m.apply(v, x, method=lambda mdl, im: mdl.embed_image(im))
+    b = m.apply(v, x, method=lambda mdl, im: mdl.embed_patches(patchify(im, 16)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

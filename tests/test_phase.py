@@ -118,3 +118,23 @@ def test_unetplusplus_fold_up_matches_standard():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4), mf, ms
     )
+
+
+def test_conv_transpose2x_via_phase_matches_dilated():
+    """ConvTranspose2x default (conv1x1-to-phase + depth_to_space) must be
+    exact vs the lhs-dilated-conv formulation, values and grads."""
+    import numpy as np
+
+    from kurosiwo_tpu.ops.nn import ConvTranspose2x
+
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 7, 5, 6), jnp.float32)
+    a = ConvTranspose2x(4, via_phase=False)
+    b = ConvTranspose2x(4, via_phase=True)
+    v = a.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(a.apply(v, x)), np.asarray(b.apply(v, x)), atol=1e-5, rtol=1e-5
+    )
+    ga = jax.grad(lambda p: jnp.sum(a.apply(p, x) ** 2))(v)
+    gb = jax.grad(lambda p: jnp.sum(b.apply(p, x) ** 2))(v)
+    for p, q in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=2e-4, rtol=1e-4)
