@@ -236,6 +236,9 @@ class SNUNetECAM(nn.Module):
     # the backward recompute skips the activation-sized stat reductions
     # (r3 profile: convert_reduce_fusion = 129 ms of the 518 ms b128 step)
     save_bn_stats: bool = True
+    # compute the k2/s2 up legs as conv1x1-to-phase + depth_to_space instead
+    # of the lhs-dilated conv (exact; A/B'd on hardware — see performance.md)
+    dts_up: bool = True
     # OPT-IN (measured regression as default): run the level-0/level-1 rows
     # in phase (space-to-depth) space — exact reparameterization, checkpoints
     # unchanged, but the folded 3x3 phase kernels carry structural-zero taps
@@ -269,19 +272,20 @@ class SNUNetECAM(nn.Module):
         self.conv0_3 = ConvBlockNested(f[0], f[0], dt, phase=ph)
         self.conv1_3 = ConvBlockNested(f[1], f[1], dt, phase=ph1)
         self.conv0_4 = ConvBlockNested(f[0], f[0], dt, phase=ph)
+        dts = self.dts_up
         Up0 = (lambda feats: _PhaseUp2x(feats, dtype=dt)) if ph else (
-            lambda feats: ConvTranspose2x(feats, dtype=dt)
+            lambda feats: ConvTranspose2x(feats, dtype=dt, via_phase=dts)
         )
         Up1 = (lambda feats: _PhaseUp2x(feats, dtype=dt)) if ph1 else (
-            lambda feats: ConvTranspose2x(feats, dtype=dt)
+            lambda feats: ConvTranspose2x(feats, dtype=dt, via_phase=dts)
         )
         self.Up1_0 = Up0(f[1])
         self.Up2_0 = Up1(f[2])
-        self.Up3_0 = ConvTranspose2x(f[3], dtype=dt)
-        self.Up4_0 = ConvTranspose2x(f[4], dtype=dt)
+        self.Up3_0 = ConvTranspose2x(f[3], dtype=dt, via_phase=dts)
+        self.Up4_0 = ConvTranspose2x(f[4], dtype=dt, via_phase=dts)
         self.Up1_1 = Up0(f[1])
         self.Up2_1 = Up1(f[2])
-        self.Up3_1 = ConvTranspose2x(f[3], dtype=dt)
+        self.Up3_1 = ConvTranspose2x(f[3], dtype=dt, via_phase=dts)
         self.Up1_2 = Up0(f[1])
         self.Up2_2 = Up1(f[2])
         self.Up1_3 = Up0(f[1])
