@@ -112,7 +112,8 @@ def initialize_cd_model(config: dict, model_config: dict, phase: str = "train"):
             num_classes=nc, base_channel=model_config.get("base_channel", 32),
             remat=bool(remat),
             save_bn_stats=bool(config.get("snunet_save_bn_stats", True)),
-            dts_up=bool(config.get("snunet_dts_up", True)),
+            # dts-up measured 221.4 vs 248.1 p/s at b128 (regression) — opt-in
+            dts_up=bool(config.get("snunet_dts_up", False)),
             # phase-space levels measured 246 -> 146 patches/s at b128:
             # the folded 3x3 phase kernels burn 2.25x dense FLOPs
             # (structural-zero taps), which outweighs the lane-padding

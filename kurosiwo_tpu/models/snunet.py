@@ -236,9 +236,13 @@ class SNUNetECAM(nn.Module):
     # the backward recompute skips the activation-sized stat reductions
     # (r3 profile: convert_reduce_fusion = 129 ms of the 518 ms b128 step)
     save_bn_stats: bool = True
-    # compute the k2/s2 up legs as conv1x1-to-phase + depth_to_space instead
-    # of the lhs-dilated conv (exact; A/B'd on hardware — see performance.md)
-    dts_up: bool = True
+    # OPT-IN (measured regression as default): compute the k2/s2 up legs as
+    # conv1x1-to-phase + depth_to_space instead of the lhs-dilated conv.
+    # Exact, and it does delete the lhs-dilation scatter/reverse ops — but the
+    # same-session hardware A/B measured 221.4 vs 248.1 patches/s at b128
+    # (the phase relayout + depth_to_space copies cost more than the scatter
+    # they replace). Kept as tested infrastructure (docs/performance.md).
+    dts_up: bool = False
     # OPT-IN (measured regression as default): run the level-0/level-1 rows
     # in phase (space-to-depth) space — exact reparameterization, checkpoints
     # unchanged, but the folded 3x3 phase kernels carry structural-zero taps
