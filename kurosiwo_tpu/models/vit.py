@@ -22,7 +22,7 @@ from flax import linen as nn
 from ..ops.fused_ln import LayerNorm as FusedLayerNorm
 from einops import rearrange
 
-from ..ops.attention import attention
+from ..ops.attention import attention_packed
 
 
 class FeedForward(nn.Module):
@@ -52,9 +52,7 @@ class SelfAttention(nn.Module):
         x = FusedLayerNorm(dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads)
-        out = attention(split(q), split(k), split(v), scale=self.dim_head**-0.5)
-        out = rearrange(out, "b h n d -> b n (h d)")
+        out = attention_packed(q, k, v, self.heads, scale=self.dim_head**-0.5)
         if project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         return out

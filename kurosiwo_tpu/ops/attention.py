@@ -65,3 +65,44 @@ def attention(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(q.dtype), v, preferred_element_type=acc_dtype)
     return out.astype(q.dtype)
+
+
+def attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float | None = None,
+    use_flash: bool | None = None,
+) -> jnp.ndarray:
+    """Multi-head attention on packed (B, N, H*D) tensors -> (B, N, H*D).
+
+    Head split/merge are free reshapes of the qkv projection's output —
+    the einsums carry the head axis as a non-major batch dimension, so the
+    physical ``b n (h d) -> b h n d`` transposes (one per q/k/v/out per
+    layer, standalone relayout fusions in the r3 ViT-L b64 profile) never
+    materialize. Long sequences still route to the flash kernel, which
+    needs the (B, H, N, D) layout — there the transpose is amortized over
+    an O(N^2) kernel and irrelevant.
+    """
+    b, n, inner = q.shape
+    d = inner // heads
+    if scale is None:
+        scale = d**-0.5
+    if use_flash is None:
+        use_flash = (
+            n >= _FLASH_MIN_SEQ
+            and k.shape[1] >= _FLASH_MIN_SEQ
+            and _pick_block(n) is not None
+            and _pick_block(k.shape[1]) is not None
+        )
+    split = lambda t: t.reshape(b, t.shape[1], heads, d)
+    if use_flash:
+        to_bhnd = lambda t: split(t).transpose(0, 2, 1, 3)
+        out = attention(to_bhnd(q), to_bhnd(k), to_bhnd(v), scale, use_flash=True)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+    acc_dtype = jnp.float32
+    scores = jnp.einsum("bnhd,bmhd->bhnm", split(q), split(k), preferred_element_type=acc_dtype) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(q.dtype), split(v), preferred_element_type=acc_dtype)
+    return out.astype(q.dtype).reshape(b, n, inner)

@@ -150,6 +150,47 @@ def replication_pad_to(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndar
     return jnp.pad(x, ((0, 0), (0, dh), (0, dw), (0, 0)), mode="edge")
 
 
+def _use_pallas_conv() -> bool:
+    """Fused conv3x3+BN-stats Pallas forward (ops/pallas_conv_bn.py) is
+    OPT-IN via KUROSIWO_PALLAS_CONV=1 and TPU-only, single-device (the
+    kernel has no partitioning rule); =interpret runs the kernel in
+    interpret mode on any backend (CPU parity tests). Standalone hardware
+    timings: wins at C=256 (4.23 vs 4.72 ms), loses at C=128 (7.16 vs
+    6.48) — the in-step A/B decides the default (docs/performance.md)."""
+    import os
+
+    flag = os.environ.get("KUROSIWO_PALLAS_CONV")
+    if flag == "interpret":
+        return True
+    if flag != "1":
+        return False
+    if len(jax.devices()) != 1:
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or "axon" in backend
+
+
+class _BNParams(nn.Module):
+    """BatchNorm_0-compatible parameter/stat holder for fused conv+BN paths
+    (same variable subtree as flax BatchNorm — checkpoints interchangeable).
+    Call once for (scale, bias); call again with (mean, var) to fold the
+    batch statistics into the running averages."""
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, mean=None, var=None):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
+        if mean is not None and not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        return scale, bias
+
+
 class ConvBNAct(nn.Module):
     """Conv -> BatchNorm -> activation, the workhorse block of the CNN zoo.
 
@@ -190,6 +231,30 @@ class ConvBNAct(nn.Module):
                 use_running_average=not train, groups=4, momentum=0.9,
                 epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0",
             )(z)
+            if self.act is not None:
+                z = self.act(z)
+            return z
+        if (
+            train
+            and self.kernel == 3
+            and self.stride == 1
+            and self.dilation == 1
+            and not self.use_bias
+            and x.shape[-1] % 128 == 0
+            and self.features % 128 == 0
+            and min(x.shape[-1], self.features) >= 256
+            and _use_pallas_conv()
+        ):
+            import os
+
+            from .pallas_conv_bn import conv3x3_bn
+
+            interp = os.environ.get("KUROSIWO_PALLAS_CONV") == "interpret"
+            kernel, _ = ConvParams((3, 3, x.shape[-1], self.features), name="Conv_0")()
+            bn = _BNParams(self.features, name="BatchNorm_0")
+            scale, bias = bn()
+            z, mean, var = conv3x3_bn(x.astype(self.dtype), kernel, scale, bias, 1e-5, interp)
+            bn(mean, var)
             if self.act is not None:
                 z = self.act(z)
             return z

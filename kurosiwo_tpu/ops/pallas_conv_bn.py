@@ -142,3 +142,66 @@ def conv3x3_bn_stats(
     s = jnp.sum(stats[:, 0, :], axis=0)
     sq = jnp.sum(stats[:, 1, :], axis=0)
     return y, jnp.stack([s, sq])
+
+
+def _pick_rows(h: int) -> int:
+    """Largest row-block <= 16 dividing H (VMEM slab height)."""
+    for r in (16, 14, 12, 8, 7, 4, 2, 1):
+        if h % r == 0:
+            return r
+    return 1
+
+
+def _conv_same_bf(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3x3_bn(x, w, scale, bias, eps: float = 1e-5, interpret: bool = False):
+    """conv3x3 SAME/stride-1 -> training-mode BatchNorm, with the conv AND
+    its output statistics computed in ONE Pallas pass (the standalone XLA
+    stats pass — one extra HBM read of the conv output at the measured
+    238 GB/s reduce ceiling — never happens). Returns (out, mean, var),
+    matching `conv_same + bn_train_apply` numerics.
+
+    Backward: the tuned two-reduce BN vjp (ops/pallas_bn.py formulas, big
+    tensors in x.dtype) + XLA's transposed-conv gradients via jax.vjp (the
+    re-traced primal conv is dead code and DCE'd by XLA)."""
+    (out, mean, var), _ = _cbn_fwd(x, w, scale, bias, eps, interpret)
+    return out, mean, var
+
+
+def _cbn_fwd(x, w, scale, bias, eps, interpret):
+    dt = x.dtype
+    y, st = conv3x3_bn_stats(x, w.astype(dt), rows_per_block=_pick_rows(x.shape[1]),
+                             interpret=interpret)
+    n = y.size // y.shape[-1]
+    mean = st[0] / n
+    var = st[1] / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    out = y * (inv * scale).astype(dt) + (bias - mean * inv * scale).astype(dt)
+    return (out, mean, var), (x, w, y, mean, inv, scale)
+
+
+def _cbn_bwd(eps, interpret, res, cts):
+    from .pallas_bn import pair_sums
+
+    dout, _dmean, _dvar = cts
+    x, w, y, mean, inv, scale = res
+    n = y.size // y.shape[-1]
+    sum_dy, sum_dyy = pair_sums(dout, y)
+    dbeta = sum_dy
+    dgamma = inv * (sum_dyy - mean * sum_dy)
+    dt = y.dtype
+    a_f = scale * inv
+    b_f = -a_f * inv * dgamma / n
+    c_f = -a_f * (dbeta / n) - b_f * mean
+    dy = dout * a_f.astype(dt) + y * b_f.astype(dt) + c_f.astype(dt)
+    _, conv_vjp = jax.vjp(_conv_same_bf, x, w.astype(dt))
+    dx, dwc = conv_vjp(dy)
+    return dx, dwc.astype(w.dtype), dgamma, dbeta
+
+
+conv3x3_bn.defvjp(_cbn_fwd, _cbn_bwd)

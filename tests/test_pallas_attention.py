@@ -53,3 +53,35 @@ def test_attention_router_uses_flash_for_long_seq():
     assert _pick_block(2048) == 256
     assert _pick_block(197) is None  # ViT's 197 tokens stay on XLA path
     assert _pick_block(1280, want=512) == 256
+
+
+def test_attention_packed_matches_split():
+    """attention_packed on (B, N, H*D) == head-split attention on (B, H, N, D)
+    (same math, no physical head transpose in the packed path)."""
+    from kurosiwo_tpu.ops.attention import attention, attention_packed
+
+    rng = np.random.RandomState(7)
+    b, n, h, d = 2, 50, 4, 16
+    q, k, v = (jnp.asarray(rng.randn(b, n, h * d), jnp.float32) for _ in range(3))
+    split = lambda t: t.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+    ref = attention(split(q), split(k), split(v), use_flash=False)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    out = attention_packed(q, k, v, heads=h, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g_ref = jax.grad(lambda t: jnp.sum(attention_packed(t, k, v, heads=h) ** 2))(q)
+    assert np.isfinite(np.asarray(g_ref)).all()
+
+
+def test_attention_packed_flash_route():
+    """Long sequences route through the flash kernel (transposed internally)."""
+    from kurosiwo_tpu.ops.attention import attention_packed
+
+    rng = np.random.RandomState(8)
+    b, n, h, d = 1, 1024, 2, 32
+    q, k, v = (jnp.asarray(rng.randn(b, n, h * d), jnp.float32) for _ in range(3))
+    packed_xla = attention_packed(q, k, v, heads=h, use_flash=False)
+    split = lambda t: t.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+    ref = _ref_attention(split(q), split(k), split(v), d**-0.5)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    np.testing.assert_allclose(np.asarray(packed_xla), np.asarray(ref), atol=2e-5)
