@@ -23,6 +23,19 @@ import jax.numpy as jnp
 _FLASH_MIN_SEQ = 1024
 
 
+def _use_short_kernel() -> bool:
+    """Packed-layout short-sequence Pallas attention (pallas_attention.py):
+    TPU-only, default ON there (kill switch KUROSIWO_SHORT_ATTN=0 for A/B).
+    It exists to delete XLA's structural head-transpose + materialized
+    softmax overhead (~16 ms/step of the ViT-L b64 MAE profile)."""
+    import os
+
+    if os.environ.get("KUROSIWO_SHORT_ATTN") == "0":
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or "axon" in backend
+
+
 def _pick_block(n: int, want: int = 256) -> int | None:
     """Largest 128-multiple block <= want that divides n (TPU lane tiling);
     None when n has no such divisor — caller falls back to XLA attention."""
@@ -101,6 +114,10 @@ def attention_packed(
         to_bhnd = lambda t: split(t).transpose(0, 2, 1, 3)
         out = attention(to_bhnd(q), to_bhnd(k), to_bhnd(v), scale, use_flash=True)
         return out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+    if d in (32, 64, 128) and inner % 128 == 0 and _use_short_kernel():
+        from .pallas_attention import short_attention
+
+        return short_attention(q, k, v, heads, scale)
     acc_dtype = jnp.float32
     scores = jnp.einsum("bnhd,bmhd->bhnm", split(q), split(k), preferred_element_type=acc_dtype) * scale
     probs = jax.nn.softmax(scores, axis=-1)

@@ -221,3 +221,173 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, residuals, do):
 
 
 flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Short-sequence attention on the PACKED (B, N, H*D) layout (round 3).
+#
+# The r3 ViT-L b64 MAE profile attributes ~16 ms/step to decoder attention
+# overhead that is structural to XLA's lowering: physical head transposes
+# (b n (h d) <-> b h n d, ~6 ms — XLA canonicalizes dot batch dims the same
+# way however the einsum is written), materialized (B,H,N,N) softmax
+# round-trips (~5.5 ms fwd+bwd), and score/PV relayout fusions. This kernel
+# reads q/k/v directly in the packed layout the qkv projection produces —
+# one 128-lane block per grid cell holds 128//D whole heads — and keeps
+# scores + softmax in VMEM. No transpose of the (B, N, H*D) activations
+# ever materializes in HBM, and the (N, N) probabilities never leave VMEM.
+#
+# Scope: N small enough that an (N, N) f32 score tile fits VMEM (the
+# ViT/MAE/BiT/ChangeFormer sequences: 49-400 tokens), D dividing 128.
+# Long sequences stay on the flash kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _short_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d):
+    hpb = q_ref.shape[-1] // d
+    outs, lses = [], []
+    for t in range(hpb):
+        sl = slice(t * d, (t + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (nq, nk) f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(o_ref.dtype))
+        lses.append((m + jnp.log(l))[:, 0][None, :])
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    lse_ref[0] = jnp.concatenate(lses, axis=0)
+
+
+def _short_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *, scale, d
+):
+    hpb = q_ref.shape[-1] // d
+    dqs, dks, dvs = [], [], []
+    for t in range(hpb):
+        sl = slice(t * d, (t + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        lse = lse_ref[0, t, :][:, None]
+        delta = delta_ref[0, t, :][:, None]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)  # (nq, nk) f32
+        pc = p.astype(do.dtype)
+        dv = jax.lax.dot_general(
+            pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (nk, d)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (nq, nk)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+
+
+def _short_fwd(q, k, v, heads, scale, interpret):
+    b, n, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
+    hpb = 128 // d
+    nblk = hd // 128
+    grid = (b, nblk)
+    out, lse = pl.pallas_call(
+        functools.partial(_short_fwd_kernel, scale=scale, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, hpb, n), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, heads, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def short_attention(q, k, v, heads: int, scale: float | None = None, interpret: bool = False):
+    """Multi-head attention on packed (B, N, H*D) tensors -> (B, N, H*D).
+
+    Requires 128 % D == 0 and (H*D) % 128 == 0; N/Nk arbitrary (whole rows
+    resident in VMEM — short-sequence regime)."""
+    if scale is None:
+        scale = (q.shape[-1] // heads) ** -0.5
+    out, _ = _short_fwd(q, k, v, heads, scale, interpret)
+    return out
+
+
+def _short_vjp_fwd(q, k, v, heads, scale, interpret):
+    if scale is None:
+        scale = (q.shape[-1] // heads) ** -0.5
+    out, lse = _short_fwd(q, k, v, heads, scale, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _short_vjp_bwd(heads, scale, interpret, residuals, do):
+    q, k, v, out, lse = residuals
+    b, n, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
+    if scale is None:
+        scale = d**-0.5
+    hpb = 128 // d
+    nblk = hd // 128
+    # delta_h = sum_d(do * out) per head, laid out (B, H, N) like lse
+    delta = (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(b, n, heads, d)
+    delta = jnp.sum(delta, axis=-1).transpose(0, 2, 1)  # (B, H, N) — tiny
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_short_bwd_kernel, scale=scale, d=d),
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, hpb, n), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, hpb, n), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, nk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, nk, hd), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+short_attention.defvjp(_short_vjp_fwd, _short_vjp_bwd)

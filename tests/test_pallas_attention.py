@@ -85,3 +85,62 @@ def test_attention_packed_flash_route():
     ref = _ref_attention(split(q), split(k), split(v), d**-0.5)
     ref = ref.transpose(0, 2, 1, 3).reshape(b, n, h * d)
     np.testing.assert_allclose(np.asarray(packed_xla), np.asarray(ref), atol=2e-5)
+
+
+def _packed_ref(q, k, v, heads, scale):
+    b, n, hd = q.shape
+    d = hd // heads
+    split = lambda t: t.reshape(b, t.shape[1], heads, d).transpose(0, 2, 1, 3)
+    out = _ref_attention(split(q), split(k), split(v), scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@pytest.mark.parametrize("n,heads,d", [(196, 2, 64), (49, 4, 32), (197, 1, 128)])
+def test_short_attention_forward(n, heads, d):
+    from kurosiwo_tpu.ops.pallas_attention import short_attention
+
+    rng = np.random.RandomState(5)
+    b, hd = 2, heads * d
+    q, k, v = (jnp.asarray(rng.randn(b, n, hd), jnp.float32) for _ in range(3))
+    scale = d**-0.5
+    out = short_attention(q, k, v, heads, scale, True)  # interpret
+    ref = _packed_ref(q, k, v, heads, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_short_attention_gradients():
+    from kurosiwo_tpu.ops.pallas_attention import short_attention
+
+    rng = np.random.RandomState(6)
+    b, n, heads, d = 2, 50, 2, 64
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.randn(b, n, hd), jnp.float32) for _ in range(3))
+    scale = d**-0.5
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(short_attention(q, k, v, heads, scale, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_packed_ref(q, k, v, heads, scale) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gk, gr, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_short_attention_cross_lengths():
+    """nq != nk (cross-attention shapes used by BiT-CD's decoder)."""
+    from kurosiwo_tpu.ops.pallas_attention import short_attention
+
+    rng = np.random.RandomState(9)
+    b, nq, nk, heads, d = 1, 60, 4, 2, 64
+    hd = heads * d
+    q = jnp.asarray(rng.randn(b, nq, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(b, nk, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(b, nk, hd), jnp.float32)
+    out = short_attention(q, k, v, heads, None, True)
+    ref = _packed_ref(q, k, v, heads, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
