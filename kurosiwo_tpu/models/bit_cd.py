@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from einops import rearrange
 
-from ..ops.attention import attention as fused_attention
+from ..ops.attention import attention_packed
 from ..ops.nn import ConvBNAct, resize_bilinear, resize_nearest, upsample2x
 from .resnet import ResNetEncoder
 
@@ -53,9 +53,9 @@ class _Attention(nn.Module):
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        sp = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads)
-        out = fused_attention(sp(q), sp(k), sp(v), scale=self.dim**-0.5)
-        out = rearrange(out, "b h n d -> b n (h d)")
+        # packed (B, N, H*D) path: head split/merge are free reshapes and the
+        # short-sequence Pallas kernel applies on TPU (ops/attention.py)
+        out = attention_packed(q, k, v, self.heads, scale=self.dim**-0.5)
         return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 
@@ -72,15 +72,14 @@ class _CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(m)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(m)
-        sp = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads)
-        q, k, v = sp(q), sp(k), sp(v)
         if self.softmax:
-            out = fused_attention(q, k, v, scale=self.dim**-0.5)
+            out = attention_packed(q, k, v, self.heads, scale=self.dim**-0.5)
         else:
             # decoder_softmax=False path: raw (unnormalized) attention
-            dots = jnp.einsum("bhid,bhjd->bhij", q, k) * (self.dim**-0.5)
-            out = jnp.einsum("bhij,bhjd->bhid", dots, v)
-        out = rearrange(out, "b h n d -> b n (h d)")
+            sp = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads)
+            dots = jnp.einsum("bhid,bhjd->bhij", sp(q), sp(k)) * (self.dim**-0.5)
+            out = jnp.einsum("bhij,bhjd->bhid", dots, sp(v))
+            out = rearrange(out, "b h n d -> b n (h d)")
         return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 

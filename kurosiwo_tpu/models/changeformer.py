@@ -30,7 +30,7 @@ from flax import linen as nn
 from ..ops.pallas_bn import BatchNorm as FusedBatchNorm
 from einops import rearrange
 
-from ..ops.attention import attention as fused_attention
+from ..ops.attention import attention_packed
 from ..ops.nn import TorchConvTranspose, resize_bilinear
 
 
@@ -91,9 +91,9 @@ class EfficientAttention(nn.Module):
             xs = x
         kv = nn.Dense(self.dim * 2, use_bias=True, dtype=self.dtype, name="kv")(xs)
         k, v = jnp.split(kv, 2, axis=-1)
-        sp = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.num_heads)
-        out = fused_attention(sp(q), sp(k), sp(v), scale=head_dim**-0.5)
-        out = rearrange(out, "b h n d -> b n (h d)")
+        # packed (B, N, H*D) path: no physical head transpose; the short
+        # Pallas kernel applies on TPU where dim%128==0 (stages 2/4)
+        out = attention_packed(q, k, v, self.num_heads, scale=head_dim**-0.5)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

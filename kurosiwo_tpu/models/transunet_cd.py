@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from einops import rearrange
 
-from ..ops.attention import attention as fused_attention
+from ..ops.attention import attention_packed
 from ..ops.nn import ConvBNAct, resize_bilinear
 
 
@@ -41,8 +41,7 @@ class PostNormBlock(nn.Module):
         # reference layout: 'b t (d k h)' -> last dim ordered (d, k, h)
         q, k, v = _split_ref_layout(qkv, self.head_num)
         # quirk: multiply by sqrt(head_dim) (reference dk usage)
-        att = fused_attention(q, k, v, scale=float(head_dim) ** 0.5)
-        att = rearrange(att, "b h t d -> b t (h d)")
+        att = attention_packed(q, k, v, self.head_num, scale=float(head_dim) ** 0.5)
         att = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="out_attention")(att)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + att)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
@@ -54,13 +53,16 @@ class PostNormBlock(nn.Module):
 def _split_ref_layout(qkv: jnp.ndarray, head_num: int):
     """The reference rearranges 'b t (d k h)' with k=3, h=heads: the fused
     projection's feature axis is ordered (d, k, h), NOT (k, h, d). Replicate
-    so converted checkpoints score identically."""
+    so converted checkpoints score identically. Emits head-major packed
+    (b, t, h*d) — one (d, h)->(h, d) transpose per tensor, the same count
+    the old (b, h, t, d) layout paid, but the output merge is then free and
+    the packed short-attention kernel applies."""
     b, t, dkh = qkv.shape
     d = dkh // (3 * head_num)
     x = qkv.reshape(b, t, d, 3, head_num)
     q, k, v = x[:, :, :, 0, :], x[:, :, :, 1, :], x[:, :, :, 2, :]
-    to_bhtd = lambda z: jnp.transpose(z, (0, 3, 1, 2))  # (b, t, d, h) -> (b, h, t, d)
-    return to_bhtd(q), to_bhtd(k), to_bhtd(v)
+    pack = lambda z: jnp.transpose(z, (0, 1, 3, 2)).reshape(b, t, head_num * d)
+    return pack(q), pack(k), pack(v)
 
 
 class BottleneckViT(nn.Module):

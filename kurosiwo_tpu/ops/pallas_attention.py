@@ -263,7 +263,7 @@ def _short_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d):
         outs.append(o.astype(o_ref.dtype))
         lses.append((m + jnp.log(l))[:, 0][None, :])
     o_ref[0] = jnp.concatenate(outs, axis=-1)
-    lse_ref[0] = jnp.concatenate(lses, axis=0)
+    lse_ref[0, 0] = jnp.concatenate(lses, axis=0)
 
 
 def _short_bwd_kernel(
@@ -277,8 +277,8 @@ def _short_bwd_kernel(
         k = k_ref[0, :, sl]
         v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]
-        lse = lse_ref[0, t, :][:, None]
-        delta = delta_ref[0, t, :][:, None]
+        lse = lse_ref[0, 0, t, :][:, None]
+        delta = delta_ref[0, 0, t, :][:, None]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -322,11 +322,15 @@ def _short_fwd(q, k, v, heads, scale, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, hpb, n), lambda i, j: (i, j, 0)),
+            # 4-D (B, nblk, hpb, N): Mosaic requires the block's last two
+            # dims to divide (8, 128) or equal the array dims — (hpb, n)
+            # equals them here, whereas a (1, hpb, n) block over
+            # (B, heads, n) would not (hpb < heads)
+            pl.BlockSpec((1, 1, hpb, n), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, heads, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, nblk, hpb, n), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -361,9 +365,10 @@ def _short_vjp_bwd(heads, scale, interpret, residuals, do):
         scale = d**-0.5
     hpb = 128 // d
     nblk = hd // 128
-    # delta_h = sum_d(do * out) per head, laid out (B, H, N) like lse
+    # delta_h = sum_d(do * out) per head, laid out (B, nblk, hpb, N) like lse
     delta = (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(b, n, heads, d)
     delta = jnp.sum(delta, axis=-1).transpose(0, 2, 1)  # (B, H, N) — tiny
+    delta = delta.reshape(b, nblk, hpb, n)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_short_bwd_kernel, scale=scale, d=d),
         grid=(b, nblk),
@@ -372,8 +377,8 @@ def _short_vjp_bwd(heads, scale, interpret, residuals, do):
             pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, hpb, n), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, hpb, n), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, hpb, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hpb, n), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
