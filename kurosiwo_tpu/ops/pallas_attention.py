@@ -232,20 +232,27 @@ flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 # way however the einsum is written), materialized (B,H,N,N) softmax
 # round-trips (~5.5 ms fwd+bwd), and score/PV relayout fusions. This kernel
 # reads q/k/v directly in the packed layout the qkv projection produces —
-# one 128-lane block per grid cell holds 128//D whole heads — and keeps
-# scores + softmax in VMEM. No transpose of the (B, N, H*D) activations
-# ever materializes in HBM, and the (N, N) probabilities never leave VMEM.
+# each grid cell holds ONE batch element's full (N, H*D) rows and loops the
+# heads in-kernel — and keeps scores + softmax in VMEM. No transpose of the
+# (B, N, H*D) activations ever materializes in HBM, and the (N, N)
+# probabilities never leave VMEM.
 #
-# Scope: N small enough that an (N, N) f32 score tile fits VMEM (the
-# ViT/MAE/BiT/ChangeFormer sequences: 49-400 tokens), D dividing 128.
-# Long sequences stay on the flash kernel above.
+# Grid sizing matters more than dot sizing here: the first landed version
+# used (B, H*D/128) cells (512 for ViT-L b64) and the per-cell pipeline
+# overhead swamped the tiny dots — the profiled kernels ran at 8-16 TF/s
+# and attention still totalled ~35 ms/step. One cell per batch element
+# amortizes that overhead 8x while every dot stays the same shape.
+#
+# Scope: N small enough that an (N, H*D) row block + (N, N) f32 score tile
+# fit VMEM (the ViT/MAE/BiT/ChangeFormer sequences: 49-3136 tokens), D
+# dividing 128. Long sequences stay on the flash kernel above.
 # ---------------------------------------------------------------------------
 
 
 def _short_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d):
-    hpb = q_ref.shape[-1] // d
+    heads = q_ref.shape[-1] // d
     outs, lses = [], []
-    for t in range(hpb):
+    for t in range(heads):
         sl = slice(t * d, (t + 1) * d)
         q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
@@ -263,22 +270,22 @@ def _short_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d):
         outs.append(o.astype(o_ref.dtype))
         lses.append((m + jnp.log(l))[:, 0][None, :])
     o_ref[0] = jnp.concatenate(outs, axis=-1)
-    lse_ref[0, 0] = jnp.concatenate(lses, axis=0)
+    lse_ref[0] = jnp.concatenate(lses, axis=0)
 
 
 def _short_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *, scale, d
 ):
-    hpb = q_ref.shape[-1] // d
+    heads = q_ref.shape[-1] // d
     dqs, dks, dvs = [], [], []
-    for t in range(hpb):
+    for t in range(heads):
         sl = slice(t * d, (t + 1) * d)
         q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
         v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]
-        lse = lse_ref[0, 0, t, :][:, None]
-        delta = delta_ref[0, 0, t, :][:, None]
+        lse = lse_ref[0, t, :][:, None]
+        delta = delta_ref[0, t, :][:, None]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -309,28 +316,23 @@ def _short_fwd(q, k, v, heads, scale, interpret):
     b, n, hd = q.shape
     nk = k.shape[1]
     d = hd // heads
-    hpb = 128 // d
-    nblk = hd // 128
-    grid = (b, nblk)
     out, lse = pl.pallas_call(
         functools.partial(_short_fwd_kernel, scale=scale, d=d),
-        grid=grid,
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
-            # 4-D (B, nblk, hpb, N): Mosaic requires the block's last two
-            # dims to divide (8, 128) or equal the array dims — (hpb, n)
-            # equals them here, whereas a (1, hpb, n) block over
-            # (B, heads, n) would not (hpb < heads)
-            pl.BlockSpec((1, 1, hpb, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0)),
+            # block last-two dims (heads, n) equal the array dims — Mosaic's
+            # divisibility rule is satisfied whatever heads/n are
+            pl.BlockSpec((1, heads, n), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, nblk, hpb, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, n), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -363,27 +365,24 @@ def _short_vjp_bwd(heads, scale, interpret, residuals, do):
     d = hd // heads
     if scale is None:
         scale = d**-0.5
-    hpb = 128 // d
-    nblk = hd // 128
-    # delta_h = sum_d(do * out) per head, laid out (B, nblk, hpb, N) like lse
+    # delta_h = sum_d(do * out) per head, laid out (B, H, N) like lse
     delta = (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(b, n, heads, d)
     delta = jnp.sum(delta, axis=-1).transpose(0, 2, 1)  # (B, H, N) — tiny
-    delta = delta.reshape(b, nblk, hpb, n)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_short_bwd_kernel, scale=scale, d=d),
-        grid=(b, nblk),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, hpb, n), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, hpb, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, heads, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, heads, n), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, nk, 128), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, hd), q.dtype),
