@@ -142,7 +142,6 @@ class ShardReader:
         row = self.rows[key]
         mm = self._map(row // self.per_shard)
         base = (row % self.per_shard) * self.record_nbytes
-        raw = bytes(mm[base : base + self.record_nbytes])
 
         def field(name, cast=None):
             spec = self.fields.get(name)
@@ -150,9 +149,16 @@ class ShardReader:
                 return None
             dt = np.dtype(spec["dtype"])
             n = int(np.prod(spec["shape"])) if spec["shape"] else 1
-            arr = np.frombuffer(raw, dtype=dt, count=n, offset=spec["offset"])
+            # zero-copy view of the memmap; the astype/copy below is the
+            # ONLY pass over the bytes (a bytes() staging copy of the whole
+            # ~1 MB record measured ~2x slower in scripts/bench_loader.py)
+            arr = np.frombuffer(mm, dtype=dt, count=n, offset=base + spec["offset"])
             arr = arr.reshape(spec["shape"]) if spec["shape"] else arr[0]
-            return arr.astype(cast) if cast is not None else arr
+            if cast is not None:
+                return arr.astype(cast)
+            # no-cast fields leave the read-only view — copy so downstream
+            # augmentation may write in place
+            return arr.copy() if isinstance(arr, np.ndarray) else arr
 
         return RawSample(
             post=field("post", np.float32),
