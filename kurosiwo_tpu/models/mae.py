@@ -87,10 +87,17 @@ class MAE(nn.Module):
             "mask_token", nn.initializers.normal(1.0), (self.decoder_dim,), jnp.float32
         )
 
-        decoder_tokens_kept = decoder_tokens_kept + decoder_pos_emb(unmasked_indices)
+        # position lookups via the SAME one-hot selections: an Embed gather's
+        # backward is a scatter-add (serial dynamic-update-slice loops on TPU,
+        # ~1.9 ms/step in the r3 profile); the einsum's backward is an MXU
+        # matmul. decoder_pos_emb stays an nn.Embed so the checkpoint path
+        # (decoder_pos_emb/embedding) is unchanged.
+        pos_table = decoder_pos_emb.embedding.astype(self.dtype)  # (N, dec_dim)
+        pos_for = lambda sel: jnp.einsum("bkn,nd->bkd", sel.astype(self.dtype), pos_table)
+        decoder_tokens_kept = decoder_tokens_kept + pos_for(unmasked_sel)
         mask_tokens = (
             jnp.broadcast_to(mask_token.astype(self.dtype), (b, num_masked, self.decoder_dim))
-            + decoder_pos_emb(masked_indices)
+            + pos_for(masked_sel)
         )
 
         # scatter back to grid positions via the transposed selections
