@@ -144,3 +144,4 @@ def test_short_attention_cross_lengths():
     out = short_attention(q, k, v, heads, None, True)
     ref = _packed_ref(q, k, v, heads, d**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
