@@ -31,9 +31,12 @@ jax.config.update(
 BASELINE_PATCHES_PER_SEC = 4000.0
 
 
+CD_MODELS = ("snunet", "bit-cd", "changeformer")
+
+
 def build_config(model: str, batch: int):
     cfg = {
-        "task": "cd" if model == "snunet" else "segmentation",
+        "task": "cd" if model in CD_MODELS else "segmentation",
         "method": model,
         "num_classes": 3,
         "mixed_precision": True,
@@ -42,12 +45,12 @@ def build_config(model: str, batch: int):
         "track": "RandomEvents",
         "class_weights": [0.3715753140309927, 14.009780283125977, 8.20405370357821],
         "loss_function": "cross_entropy",
-        "inputs": ["pre_event_1", "post_event"] if model == "snunet" else ["pre_event_1", "pre_event_2", "post_event"],
+        "inputs": ["pre_event_1", "post_event"] if model in CD_MODELS else ["pre_event_1", "pre_event_2", "post_event"],
         "channels": ["vv", "vh"],
         "dem": False,
         "log_zone_metrics": False,
         "log_AOI_metrics": False,
-        "num_channels": 2 if model == "snunet" else 6,
+        "num_channels": 2 if model in CD_MODELS else 6,
     }
     return cfg
 
@@ -105,7 +108,8 @@ def bench_mae(args, n_dev: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="unet", choices=["unet", "snunet", "vit"])
+    p.add_argument("--model", default="unet",
+                   choices=["unet", "snunet", "vit", "bit-cd", "changeformer"])
     p.add_argument("--batch", type=int, default=0)  # 0 = auto
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)

@@ -3,10 +3,12 @@
 One attention implementation is written once and reused by ViT/MAE, BiT-CD,
 ChangeFormer and TransUNet-CD (the reference re-implements it in each file).
 
-Two execution paths, selected by sequence length:
-  * short sequences (ViT's 197 tokens, BiT's 4+HW tokens): plain XLA einsum
-    attention — at these sizes XLA fuses QK^T -> softmax -> PV efficiently and
-    a Pallas kernel adds nothing.
+Three execution paths, selected by sequence length and shape:
+  * short sequences on TPU (ViT's 49-197 tokens, BiT/ChangeFormer grids)
+    with D in {32,64,128} and (H*D)%128==0: the packed-layout Pallas kernel
+    (pallas_attention.short_attention) — no head transpose ever
+    materializes, softmax stays in VMEM; measured +19.3% on MAE ViT-L b64.
+  * other short shapes / non-TPU backends: plain XLA einsum attention.
   * long sequences (whole-scene SAR mosaics, thousands of patches): a Pallas
     flash-attention kernel (kurosiwo_tpu.ops.pallas_attention) that never
     materializes the (N, N) score matrix in HBM.
