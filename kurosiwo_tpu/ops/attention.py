@@ -27,16 +27,13 @@ _FLASH_MIN_SEQ = 1024
 
 def _use_short_kernel() -> bool:
     """Packed-layout short-sequence Pallas attention (pallas_attention.py):
-    TPU-only, single-device (the kernel has no GSPMD partitioning rule, so
-    under a multi-device pjit it would force gathers; batch-dim sharding of
-    the (B,) grid is mechanical to add when a pod is available). Default ON
-    on one chip (kill switch KUROSIWO_SHORT_ATTN=0 for A/B); measured
-    +19.3% on MAE ViT-L b64."""
+    TPU-only, default ON (kill switch KUROSIWO_SHORT_ATTN=0 for A/B);
+    measured +19.3% on MAE ViT-L b64. Multi-device meshes go through the
+    kernel's batch-dim custom_partitioning rule (each shard runs the local
+    grid; mesh-tested on the virtual 8-device CPU mesh)."""
     import os
 
     if os.environ.get("KUROSIWO_SHORT_ATTN") == "0":
-        return False
-    if len(jax.devices()) != 1:
         return False
     backend = jax.default_backend()
     return backend == "tpu" or "axon" in backend

@@ -313,6 +313,16 @@ def _short_bwd_kernel(
 
 
 def _short_fwd(q, k, v, heads, scale, interpret):
+    """Route to the local pallas call (one device) or the batch-sharded
+    custom_partitioning wrapper (multi-device mesh). The wrapper is NOT used
+    single-device: an opaque partitioning boundary blocks fusion there for
+    no benefit (the r2 BN wrapper measured a large one-device regression)."""
+    if len(jax.devices()) > 1:
+        return _short_fwd_partitioned(heads, scale, interpret)(q, k, v)
+    return _short_fwd_local(q, k, v, heads, scale, interpret)
+
+
+def _short_fwd_local(q, k, v, heads, scale, interpret):
     b, n, hd = q.shape
     nk = k.shape[1]
     d = hd // heads
@@ -361,13 +371,21 @@ def _short_vjp_fwd(q, k, v, heads, scale, interpret):
 def _short_vjp_bwd(heads, scale, interpret, residuals, do):
     q, k, v, out, lse = residuals
     b, n, hd = q.shape
-    nk = k.shape[1]
     d = hd // heads
     if scale is None:
         scale = d**-0.5
     # delta_h = sum_d(do * out) per head, laid out (B, H, N) like lse
     delta = (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(b, n, heads, d)
     delta = jnp.sum(delta, axis=-1).transpose(0, 2, 1)  # (B, H, N) — tiny
+    if len(jax.devices()) > 1:
+        return _short_bwd_partitioned(heads, scale, interpret)(q, k, v, do, lse, delta)
+    return _short_bwd_local(q, k, v, do, lse, delta, heads, scale, interpret)
+
+
+def _short_bwd_local(q, k, v, do, lse, delta, heads, scale, interpret):
+    b, n, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
     dq, dk, dv = pl.pallas_call(
         functools.partial(_short_bwd_kernel, scale=scale, d=d),
         grid=(b,),
@@ -395,3 +413,98 @@ def _short_vjp_bwd(heads, scale, interpret, residuals, do):
 
 
 short_attention.defvjp(_short_vjp_fwd, _short_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD rules: the kernel is a pure per-batch-element map, so under a
+# multi-device mesh each shard runs it on its local batch rows (SURVEY
+# §2.10 DP). Any non-batch sharding of the operands is re-sharded to
+# batch-only first (never hit by the zoo's batch-sharded activations).
+# Same custom_partitioning pattern as ops/pallas_bn.py.
+# ---------------------------------------------------------------------------
+
+
+def _batch_shardings(mesh, arg_infos, n_out):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = ()
+    if arg_infos[0].sharding is not None:
+        spec = tuple(arg_infos[0].sharding.spec)
+    b_axes = spec[0] if spec else None
+    sh = NamedSharding(mesh, PartitionSpec(b_axes))
+    return tuple(sh for _ in arg_infos), tuple(sh for _ in range(n_out))
+
+
+@functools.lru_cache(maxsize=None)
+def _short_fwd_partitioned(heads, scale, interpret):
+    from jax.experimental.custom_partitioning import (
+        ArrayMapping,
+        SdyShardingRule,
+        custom_partitioning,
+    )
+
+    @custom_partitioning
+    def f(q, k, v):
+        return _short_fwd_local(q, k, v, heads, scale, interpret)
+
+    def infer(mesh, arg_infos, result_infos):
+        _, out_sh = _batch_shardings(mesh, arg_infos, 2)
+        return out_sh
+
+    def partition(mesh, arg_infos, result_infos):
+        arg_sh, out_sh = _batch_shardings(mesh, arg_infos, 2)
+
+        def lower(q, k, v):
+            return _short_fwd_local(q, k, v, heads, scale, interpret)
+
+        return mesh, lower, out_sh, arg_sh
+
+    rule = SdyShardingRule(
+        (ArrayMapping("b", "n", "f"), ArrayMapping("b", "m", "f"), ArrayMapping("b", "m", "f")),
+        (ArrayMapping("b", "n", "f"), ArrayMapping("b", "h", "n")),
+    )
+    f.def_partition(partition, infer_sharding_from_operands=infer, sharding_rule=rule)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _short_bwd_partitioned(heads, scale, interpret):
+    from jax.experimental.custom_partitioning import (
+        ArrayMapping,
+        SdyShardingRule,
+        custom_partitioning,
+    )
+
+    @custom_partitioning
+    def f(q, k, v, do, lse, delta):
+        return _short_bwd_local(q, k, v, do, lse, delta, heads, scale, interpret)
+
+    def infer(mesh, arg_infos, result_infos):
+        _, out_sh = _batch_shardings(mesh, arg_infos, 3)
+        return out_sh
+
+    def partition(mesh, arg_infos, result_infos):
+        arg_sh, out_sh = _batch_shardings(mesh, arg_infos, 3)
+
+        def lower(q, k, v, do, lse, delta):
+            return _short_bwd_local(q, k, v, do, lse, delta, heads, scale, interpret)
+
+        return mesh, lower, out_sh, arg_sh
+
+    rule = SdyShardingRule(
+        (
+            ArrayMapping("b", "n", "f"),
+            ArrayMapping("b", "m", "f"),
+            ArrayMapping("b", "m", "f"),
+            ArrayMapping("b", "n", "f"),
+            ArrayMapping("b", "h", "n"),
+            ArrayMapping("b", "h", "n"),
+        ),
+        (
+            ArrayMapping("b", "n", "f"),
+            ArrayMapping("b", "m", "f"),
+            ArrayMapping("b", "m", "f"),
+        ),
+    )
+    f.def_partition(partition, infer_sharding_from_operands=infer, sharding_rule=rule)
+    return f
