@@ -435,76 +435,64 @@ def _batch_shardings(mesh, arg_infos, n_out):
     return tuple(sh for _ in arg_infos), tuple(sh for _ in range(n_out))
 
 
-@functools.lru_cache(maxsize=None)
-def _short_fwd_partitioned(heads, scale, interpret):
+def _make_partitioned(local_fn, operand_maps, result_maps):
+    """custom_partitioning wrapper for a pure per-batch-element kernel:
+    everything shards on dim 0 only. All non-batch factors are declared
+    need_replication so Shardy steers propagation to batch-only shardings
+    up front, instead of letting seq/feature shardings reach partition()
+    and be silently undone with hidden reshard collectives."""
     from jax.experimental.custom_partitioning import (
         ArrayMapping,
         SdyShardingRule,
         custom_partitioning,
     )
 
-    @custom_partitioning
-    def f(q, k, v):
-        return _short_fwd_local(q, k, v, heads, scale, interpret)
+    f = custom_partitioning(local_fn)
+    n_out = len(result_maps)
 
     def infer(mesh, arg_infos, result_infos):
-        _, out_sh = _batch_shardings(mesh, arg_infos, 2)
+        _, out_sh = _batch_shardings(mesh, arg_infos, n_out)
         return out_sh
 
     def partition(mesh, arg_infos, result_infos):
-        arg_sh, out_sh = _batch_shardings(mesh, arg_infos, 2)
+        arg_sh, out_sh = _batch_shardings(mesh, arg_infos, n_out)
+        return mesh, local_fn, out_sh, arg_sh
 
-        def lower(q, k, v):
-            return _short_fwd_local(q, k, v, heads, scale, interpret)
-
-        return mesh, lower, out_sh, arg_sh
-
+    # Shardy requires special-factor lists sorted by factor INDEX, which is
+    # assigned by first appearance across the mappings
+    factors, seen = [], set()
+    for m in operand_maps + result_maps:
+        for x in m:
+            if x != "b" and x not in seen:
+                seen.add(x)
+                factors.append(x)
     rule = SdyShardingRule(
-        (ArrayMapping("b", "n", "f"), ArrayMapping("b", "m", "f"), ArrayMapping("b", "m", "f")),
-        (ArrayMapping("b", "n", "f"), ArrayMapping("b", "h", "n")),
+        tuple(ArrayMapping(*m) for m in operand_maps),
+        tuple(ArrayMapping(*m) for m in result_maps),
+        need_replication_factors=tuple(factors),
     )
     f.def_partition(partition, infer_sharding_from_operands=infer, sharding_rule=rule)
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def _short_fwd_partitioned(heads, scale, interpret):
+    return _make_partitioned(
+        lambda q, k, v: _short_fwd_local(q, k, v, heads, scale, interpret),
+        (("b", "n", "f"), ("b", "m", "f"), ("b", "m", "f")),
+        (("b", "n", "f"), ("b", "h", "n")),
+    )
 
 
 @functools.lru_cache(maxsize=None)
 def _short_bwd_partitioned(heads, scale, interpret):
-    from jax.experimental.custom_partitioning import (
-        ArrayMapping,
-        SdyShardingRule,
-        custom_partitioning,
-    )
-
-    @custom_partitioning
-    def f(q, k, v, do, lse, delta):
-        return _short_bwd_local(q, k, v, do, lse, delta, heads, scale, interpret)
-
-    def infer(mesh, arg_infos, result_infos):
-        _, out_sh = _batch_shardings(mesh, arg_infos, 3)
-        return out_sh
-
-    def partition(mesh, arg_infos, result_infos):
-        arg_sh, out_sh = _batch_shardings(mesh, arg_infos, 3)
-
-        def lower(q, k, v, do, lse, delta):
-            return _short_bwd_local(q, k, v, do, lse, delta, heads, scale, interpret)
-
-        return mesh, lower, out_sh, arg_sh
-
-    rule = SdyShardingRule(
-        (
-            ArrayMapping("b", "n", "f"),
-            ArrayMapping("b", "m", "f"),
-            ArrayMapping("b", "m", "f"),
-            ArrayMapping("b", "n", "f"),
-            ArrayMapping("b", "h", "n"),
-            ArrayMapping("b", "h", "n"),
+    return _make_partitioned(
+        lambda q, k, v, do, lse, delta: _short_bwd_local(
+            q, k, v, do, lse, delta, heads, scale, interpret
         ),
         (
-            ArrayMapping("b", "n", "f"),
-            ArrayMapping("b", "m", "f"),
-            ArrayMapping("b", "m", "f"),
+            ("b", "n", "f"), ("b", "m", "f"), ("b", "m", "f"),
+            ("b", "n", "f"), ("b", "h", "n"), ("b", "h", "n"),
         ),
+        (("b", "n", "f"), ("b", "m", "f"), ("b", "m", "f")),
     )
-    f.def_partition(partition, infer_sharding_from_operands=infer, sharding_rule=rule)
-    return f
