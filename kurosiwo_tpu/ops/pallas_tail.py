@@ -36,29 +36,57 @@ ROWS = 128
 IGNORE_INDEX = 3
 
 
-def resolve_fused_tail(config: dict, task: str = "segmentation"):
+def _fused_tail_blockers(config: dict, model_config: dict | None) -> list[str]:
+    """Hard requirements of the fused CE+cm kernels (any failure means the
+    train step MUST keep the XLA tail). Single source of truth — steps.py
+    and the model factory both go through resolve_fused_tail, so the model's
+    phase-logits wiring can never disagree with the step's tail choice."""
+    blockers = []
+    if config.get("loss_function", "cross_entropy") != "cross_entropy":
+        blockers.append("loss_function must be cross_entropy")
+    if int(config.get("num_classes", 3)) != 3:
+        blockers.append("num_classes must be 3")
+    if (model_config or {}).get("multi_scale_train"):
+        blockers.append("multi_scale_train deep supervision is unsupported")
+    if config.get("log_zone_metrics"):
+        blockers.append("log_zone_metrics needs the XLA per-zone cm banks")
+    if jax.device_count() != 1:
+        blockers.append(
+            "requires a single device (the tail pallas_call is unpartitioned; "
+            "multi-chip keeps the XLA tail — its ~2 ms is noise next to "
+            "pod-scale collectives)")
+    return blockers
+
+
+def resolve_fused_tail(config: dict, task: str = "segmentation",
+                       model_config: dict | None = None):
     """Resolve the loss/metrics-tail implementation for a train step.
 
     Returns "phase" (phase-native fused kernel), True (plane-split fused
     kernel), or None (XLA one-hot tail). An explicit config["fused_tail"]
-    always wins. The "auto" default enables the phase-native kernel only for
-    the UNet segmentation step on a single TPU chip — measured +2.4%
-    end-to-end (3,279 -> 3,357 patches/s, r3 same-session A/B). Everything
-    else keeps the XLA tail: multi-device would all-gather logits through the
-    unpartitioned pallas_call, non-phase models pay the plane-split relayouts
-    (3,266 -> 2,657, docs/performance.md), and the CPU interpret path is
-    test-only.
+    wins when the kernel's hard requirements hold and raises a ValueError
+    naming the blocker otherwise (a silent fallback would leave the model
+    emitting phase logits into the XLA tail). The "auto" default enables the
+    phase-native kernel only for the UNet segmentation step on a single TPU
+    chip — measured +2.4% end-to-end (3,279 -> 3,357 patches/s, r3
+    same-session A/B). Everything else keeps the XLA tail: non-phase models
+    pay the plane-split relayouts (3,266 -> 2,657, docs/performance.md), and
+    the CPU interpret path is test-only.
     """
     flag = config.get("fused_tail", "auto")
     if flag != "auto":
-        return flag or None
+        flag = flag or None
+        if flag:
+            blockers = _fused_tail_blockers(config, model_config)
+            if blockers:
+                raise ValueError(
+                    f"config requests fused_tail={flag!r} but the fused "
+                    f"CE+cm tail cannot apply: {'; '.join(blockers)}")
+        return flag
     if (
         task == "segmentation"
         and str(config.get("method", "")).lower() == "unet"
-        and config.get("loss_function", "cross_entropy") == "cross_entropy"
-        and int(config.get("num_classes", 3)) == 3
-        and not config.get("log_zone_metrics")
-        and jax.device_count() == 1
+        and not _fused_tail_blockers(config, model_config)
         and jax.default_backend() == "tpu"
     ):
         return "phase"
@@ -204,8 +232,13 @@ def fused_ce_cm(logits, labels, class_weights, interpret=False):
     logits: (B,H,W,3) bf16/f32; labels: (B,H,W) int; class_weights: (3,) f32.
     Returns (loss f32 scalar, cm (4,4) f32 — exact counts below 2^24).
     Gradients flow through the loss only (cm cotangent ignored — it feeds the
-    metric bank, never the optimizer).
+    metric bank, never the optimizer). class_weights is treated as a
+    non-trained constant: its cotangent is zero (the reference never learns
+    class weights; ops/losses.cross_entropy_loss is the path to use if that
+    ever changes).
     """
+    assert logits.shape[-1] == 3, (
+        f"fused_ce_cm is specialized to 3 classes (+ignore), got C={logits.shape[-1]}")
     loss, cm, _ = _run_fwd(logits, labels, jnp.asarray(class_weights, jnp.float32), interpret)
     return loss, cm
 
@@ -334,7 +367,9 @@ def fused_ce_cm_phase(zlogits, labels, class_weights, interpret=False):
     """Weighted CE + 4x4 confusion matrix from PHASE-space logits
     (B, H, W, 12) against the full-res labels (B, 2H, 2W). Identical math to
     fused_ce_cm on depth_to_space(zlogits) — without ever materializing the
-    interleaved logits. Gradient flows to zlogits in phase layout."""
+    interleaved logits. Gradient flows to zlogits in phase layout;
+    class_weights is a non-trained constant (zero cotangent, see
+    fused_ce_cm)."""
     loss, cm, _ = _phase_run_fwd(zlogits, labels, jnp.asarray(class_weights, jnp.float32), interpret)
     return loss, cm
 

@@ -151,19 +151,13 @@ def make_train_step(
     # CPU runs interpret-mode (tests); "fused_tail": false forces XLA tail.
     from ..ops.pallas_tail import resolve_fused_tail
 
-    fused_flag = resolve_fused_tail(config, task)
-    fused_eligible = (
-        config.get("loss_function", "cross_entropy") == "cross_entropy"
-        and int(config.get("num_classes", 3)) == 3
-        and not use_multiscale_loss
-        and not config.get("log_zone_metrics")
-        # single device only: under GSPMD an unpartitioned pallas_call would
-        # force logits all-gathers; multi-chip keeps the XLA tail (its ~2 ms
-        # is noise next to pod-scale collectives)
-        and jax.device_count() == 1
-    )
+    # eligibility (CE/3-class/no-multiscale/no-zones/single-device) lives in
+    # resolve_fused_tail so the model factory's phase-logits wiring can never
+    # disagree with the step's tail choice; an ineligible explicit flag
+    # raises there instead of silently feeding phase logits to the XLA tail
+    fused_flag = resolve_fused_tail(config, task, model_config)
     on_tpu = jax.default_backend() == "tpu"
-    use_fused_tail = fused_eligible and bool(fused_flag)
+    use_fused_tail = bool(fused_flag)
     # "phase" variant: the model emits phase-space logits (factory wires
     # return_phase_logits for unet) and the kernel consumes them natively —
     # no interleave in fwd and dlogits stay in phase layout for the head conv
@@ -270,7 +264,7 @@ def make_eval_step(
         from ..ops.pallas_tail import resolve_fused_tail
 
         if (
-            resolve_fused_tail(config, task) == "phase"
+            resolve_fused_tail(config, task, model_config) == "phase"
             and logits.ndim == 4
             and logits.shape[1] * 2 == mask.shape[1]
         ):

@@ -110,18 +110,18 @@ def test_train_step_fused_vs_xla_tail():
     for fused in (True, False):
         c = dict(cfg, fused_tail=fused)
         state, _ = create_train_state(model, tx, jax.random.PRNGKey(0), (batch["post"],))
-        step = make_train_step(model, tx, criterion, c, {}, "segmentation")
         if fused:
-            # eligibility requires 1 device; tests run on the virtual 8-device
-            # mesh, so pin to plain single-device jit via the explicit flag +
-            # monkeypatched count
-            import kurosiwo_tpu.training.steps as steps_mod
+            # eligibility requires 1 device (resolve_fused_tail raises on an
+            # explicit-but-ineligible flag); tests run on the virtual
+            # 8-device mesh, so pin to single-device via a monkeypatched count
             real = jax.device_count
             jax.device_count = lambda *a, **k: 1
             try:
                 step = make_train_step(model, tx, criterion, c, {}, "segmentation")
             finally:
                 jax.device_count = real
+        else:
+            step = make_train_step(model, tx, criterion, c, {}, "segmentation")
         ms = MetricState.create()
         new_state, ms, loss = jax.jit(step)(
             state, batch, ms, jnp.asarray(1e-3, jnp.float32), jax.random.PRNGKey(1)
@@ -243,10 +243,11 @@ def test_resolve_fused_tail_auto():
     base = {"method": "unet", "loss_function": "cross_entropy", "num_classes": 3}
     # this suite runs on the virtual CPU mesh -> auto resolves to the XLA tail
     assert resolve_fused_tail(base) is None
-    # explicit values are honored verbatim (False coerces to None = XLA tail)
-    assert resolve_fused_tail({**base, "fused_tail": "phase"}) == "phase"
-    assert resolve_fused_tail({**base, "fused_tail": True}) is True
+    # False coerces to None = XLA tail, always allowed
     assert resolve_fused_tail({**base, "fused_tail": False}) is None
+    # an explicit fused request on the 8-device mesh names its blocker
+    with pytest.raises(ValueError, match="single device"):
+        resolve_fused_tail({**base, "fused_tail": "phase"})
 
     # on a single TPU chip the auto default turns on exactly for the
     # unet segmentation config (simulate backend/device count)
@@ -256,12 +257,19 @@ def test_resolve_fused_tail_auto():
     jax.device_count = lambda: 1
     jax.default_backend = lambda: "tpu"
     try:
+        # explicit values are honored when eligible
+        assert resolve_fused_tail({**base, "fused_tail": "phase"}) == "phase"
+        assert resolve_fused_tail({**base, "fused_tail": True}) is True
         assert resolve_fused_tail(base) == "phase"
         assert resolve_fused_tail(base, task="cd") is None
         assert resolve_fused_tail({**base, "method": "snunet"}) is None
         assert resolve_fused_tail({**base, "num_classes": 2}) is None
         assert resolve_fused_tail({**base, "loss_function": "dice"}) is None
         assert resolve_fused_tail({**base, "log_zone_metrics": True}) is None
+        # explicit + ineligible raises rather than silently falling back
+        with pytest.raises(ValueError, match="multi_scale_train"):
+            resolve_fused_tail({**base, "fused_tail": True},
+                               model_config={"multi_scale_train": True})
         jax.device_count = lambda: 8
         assert resolve_fused_tail(base) is None
     finally:
