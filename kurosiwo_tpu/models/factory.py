@@ -44,7 +44,8 @@ def initialize_segmentation_model(config: dict, model_config: dict):
 
         return UNet(
             num_classes=nc, backbone=model_config.get("backbone", "resnet18"), dtype=dt,
-            return_phase_logits=resolve_fused_tail(config, "segmentation", model_config) == "phase",
+            return_phase_logits=resolve_fused_tail(
+                config, "segmentation", model_config, strict=False) == "phase",
         )
     if method in ("unetplusplus", "unet++"):
         from .unet import UNetPlusPlus

@@ -59,33 +59,45 @@ def _fused_tail_blockers(config: dict, model_config: dict | None) -> list[str]:
 
 
 def resolve_fused_tail(config: dict, task: str = "segmentation",
-                       model_config: dict | None = None):
+                       model_config: dict | None = None, strict: bool = True):
     """Resolve the loss/metrics-tail implementation for a train step.
 
     Returns "phase" (phase-native fused kernel), True (plane-split fused
     kernel), or None (XLA one-hot tail). An explicit config["fused_tail"]
-    wins when the kernel's hard requirements hold and raises a ValueError
-    naming the blocker otherwise (a silent fallback would leave the model
-    emitting phase logits into the XLA tail). The "auto" default enables the
-    phase-native kernel only for the UNet segmentation step on a single TPU
-    chip — measured +2.4% end-to-end (3,279 -> 3,357 patches/s, r3
-    same-session A/B). Everything else keeps the XLA tail: non-phase models
-    pay the plane-split relayouts (3,266 -> 2,657, docs/performance.md), and
-    the CPU interpret path is test-only.
+    wins; under strict=True (the train step) an explicit-but-ineligible flag
+    raises a ValueError naming the blocker (a silent fallback would leave
+    the model emitting phase logits into the XLA tail). The model factory
+    and the eval step resolve with strict=False: they only need the
+    phase-logits fact, and e.g. a phase-trained checkpoint must stay
+    loadable for eval on a multi-device host where the TRAIN-side
+    single-device blocker holds (eval never runs the fused kernel — it
+    interleaves phase logits back with depth_to_space). The "auto" default
+    enables the phase-native kernel only for the UNet segmentation step on
+    a single TPU chip — measured +2.4% end-to-end (3,279 -> 3,357
+    patches/s, r3 same-session A/B). Everything else keeps the XLA tail:
+    non-phase models pay the plane-split relayouts (3,266 -> 2,657,
+    docs/performance.md), and the CPU interpret path is test-only.
     """
     flag = config.get("fused_tail", "auto")
+    is_unet_seg = (
+        task == "segmentation" and str(config.get("method", "")).lower() == "unet"
+    )
     if flag != "auto":
         flag = flag or None
-        if flag:
+        if flag and strict:
             blockers = _fused_tail_blockers(config, model_config)
+            if flag == "phase" and not is_unet_seg:
+                # only the unet segmentation head emits phase logits; any
+                # other model would silently run the plane-split kernel (a
+                # documented 3,266 -> 2,657 regression) instead
+                blockers.append('fused_tail="phase" needs the unet segmentation head')
             if blockers:
                 raise ValueError(
                     f"config requests fused_tail={flag!r} but the fused "
                     f"CE+cm tail cannot apply: {'; '.join(blockers)}")
         return flag
     if (
-        task == "segmentation"
-        and str(config.get("method", "")).lower() == "unet"
+        is_unet_seg
         and not _fused_tail_blockers(config, model_config)
         and jax.default_backend() == "tpu"
     ):

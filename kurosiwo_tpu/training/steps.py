@@ -264,7 +264,7 @@ def make_eval_step(
         from ..ops.pallas_tail import resolve_fused_tail
 
         if (
-            resolve_fused_tail(config, task, model_config) == "phase"
+            resolve_fused_tail(config, task, model_config, strict=False) == "phase"
             and logits.ndim == 4
             and logits.shape[1] * 2 == mask.shape[1]
         ):

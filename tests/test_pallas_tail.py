@@ -245,9 +245,16 @@ def test_resolve_fused_tail_auto():
     assert resolve_fused_tail(base) is None
     # False coerces to None = XLA tail, always allowed
     assert resolve_fused_tail({**base, "fused_tail": False}) is None
-    # an explicit fused request on the 8-device mesh names its blocker
+    # an explicit fused request on the 8-device mesh names its blocker...
     with pytest.raises(ValueError, match="single device"):
         resolve_fused_tail({**base, "fused_tail": "phase"})
+    # ...but non-strict resolution (model factory / eval step: they only
+    # need the phase-logits fact) still honors it — a phase-trained
+    # checkpoint stays loadable for multi-device eval
+    assert resolve_fused_tail({**base, "fused_tail": "phase"}, strict=False) == "phase"
+    # "phase" on a model whose head can't emit phase logits is a blocker
+    with pytest.raises(ValueError, match="unet segmentation head"):
+        resolve_fused_tail({**base, "method": "unetplusplus", "fused_tail": "phase"})
 
     # on a single TPU chip the auto default turns on exactly for the
     # unet segmentation config (simulate backend/device count)
