@@ -53,6 +53,7 @@ class Loader:
         synthetic: bool | None = None,
         process_index: int | None = None,
         process_count: int | None = None,
+        index_cache: dict | None = None,
     ):
         self.mode = mode
         self.config = config
@@ -67,7 +68,7 @@ class Loader:
 
         if synthetic:
             n = int(config.get("synthetic_size", {"train": 256, "val": 64, "test": 64}.get(mode, 64)))
-            acts = config.get(f"{'train' if mode == 'train' else mode}_acts") or [130]
+            acts = config.get(f"{mode}_acts") or [130]
             self.records = synthetic_records(n, list(acts), seed)
             if config.get("task") == "diffusion-unsup":
                 import dataclasses as _dc
@@ -79,7 +80,11 @@ class Loader:
             self.negative_records = [r for r in self.records if not r.positive]
             self.stats = None
         else:
-            index = GridIndex(mode, config)
+            # prepare_loaders shares one cache across the three Loaders so
+            # the stats pass below doesn't rebuild every split's index per
+            # Loader (9 GridIndex walks instead of 3 on real corpora)
+            cache = index_cache if index_cache is not None else {}
+            index = cache.setdefault(mode, GridIndex(mode, config))
             self.records = index.records
             self.positive_records = index.positive_records
             self.negative_records = index.negative_records
@@ -89,7 +94,7 @@ class Loader:
                 # update_min_max_stats walks train+val+test, Dataset.py:493-520)
                 all_records = []
                 for m in ("train", "val", "test"):
-                    all_records.extend(GridIndex(m, config).records if m != mode else self.records)
+                    all_records.extend(cache.setdefault(m, GridIndex(m, config)).records)
                 self.stats = compute_min_max_stats(all_records, str(root), config)
 
         self.oversampling = bool(config.get("oversampling")) and mode == "train"
@@ -138,8 +143,10 @@ class Loader:
         n = len(self.records)
         if self.mode != "train":
             return np.arange(n)
-        if self.oversampling and self.negative_records:
-            # 50/50 positive/negative draws, seeded (Dataset.py:641-651)
+        if self.oversampling and self.negative_records and self.positive_records:
+            # 50/50 positive/negative draws, seeded (Dataset.py:641-651);
+            # a split with either side empty falls back to a plain shuffle
+            # (rng.integers(0, 0) would raise at the first draw)
             draws = []
             npos, nneg = len(self.positive_records), len(self.negative_records)
             by_id = {id(r): i for i, r in enumerate(self.records)}
@@ -221,7 +228,8 @@ class Loader:
             # a process whose row block is entirely padding (tiny last batch)
             filler = {k: np.zeros_like(v) for k, v in self._process(self.records[0]).items()}
         filler["sample_weight"] = np.float32(0.0)
-        filler["mask"] = np.full_like(filler["mask"], 3)  # all-ignore
+        if "mask" in filler:  # absent for diffusion-unsup's typed records
+            filler["mask"] = np.full_like(filler["mask"], 3)  # all-ignore
         return samples + [filler] * pad
 
     # -- iteration --------------------------------------------------------
@@ -236,33 +244,62 @@ class Loader:
         lo = self.process_index * self.local_batch_size
         hi = lo + self.local_batch_size
 
-        def produce(batch_ids):
+        def produce(pool, batch_ids):
             local_ids = batch_ids[lo:hi]  # this process's rows of the batch
-            with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                samples = list(pool.map(lambda i: self._process(self.records[int(i)]), local_ids))
+            samples = list(pool.map(lambda i: self._process(self.records[int(i)]), local_ids))
             if self.mode != "train":
                 samples = self._pad(samples, self.local_batch_size)
             return self._collate(samples)
 
-        # double-buffered prefetch: decode batch k+1 while k trains
+        # double-buffered prefetch: decode batch k+1 while k trains.
+        # Decode errors are enqueued and re-raised in the consumer (a feeder
+        # that died silently would truncate the epoch); an abandoned iterator
+        # (early break, train-step exception, GC) sets `abandoned` so the
+        # feeder never blocks forever on a full queue.
         q: queue.Queue = queue.Queue(maxsize=2)
         stop = object()
+        abandoned = threading.Event()
+
+        def put_until_abandoned(item) -> None:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    pass
 
         def feeder():
+            # one persistent pool for the epoch (a per-batch pool spawns and
+            # joins `workers` OS threads every batch on the hot path)
             try:
-                for b in batches:
-                    q.put(produce(b))
+                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                    for b in batches:
+                        if abandoned.is_set():
+                            return
+                        put_until_abandoned(produce(pool, b))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                put_until_abandoned(("__loader_error__", e))
             finally:
-                q.put(stop)
+                put_until_abandoned(stop)
 
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__loader_error__":
+                    raise item[1]
+                yield item
+        finally:
+            abandoned.set()
+            try:  # unblock a feeder waiting on the full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10)
 
 
 def prepare_loaders(config: dict, seed: int = 999):
@@ -278,4 +315,9 @@ def prepare_loaders(config: dict, seed: int = 999):
             SLCLoader("val", config, seed),
             SLCLoader("test", config, seed),
         )
-    return (Loader("train", config, seed), Loader("val", config, seed), Loader("test", config, seed))
+    cache: dict = {}  # share split indices across the three Loaders
+    return (
+        Loader("train", config, seed, index_cache=cache),
+        Loader("val", config, seed, index_cache=cache),
+        Loader("test", config, seed, index_cache=cache),
+    )

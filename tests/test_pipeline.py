@@ -105,3 +105,64 @@ def test_stack_channels_clamp_and_ratio():
     assert out.shape == (2, 2, 2)
     assert out.max() <= 0.15 and not np.isnan(out).any()
     assert out[0, 1, 0] == 0.15  # nan -> clamp value
+
+
+def test_loader_decode_error_propagates(base_config):
+    """A decode failure mid-epoch must raise in the consumer, not silently
+    truncate the epoch (the feeder thread used to swallow it)."""
+    loader = Loader("train", base_config, seed=1)
+    boom = RuntimeError("corrupted tile")
+
+    orig = loader._process
+    calls = {"n": 0}
+
+    def exploding(record):
+        calls["n"] += 1
+        if calls["n"] > 5:
+            raise boom
+        return orig(record)
+
+    loader._process = exploding
+    with pytest.raises(RuntimeError, match="corrupted tile"):
+        list(loader)
+
+
+def test_loader_abandoned_iterator_stops_feeder(base_config):
+    """Breaking out of the batch loop early must not leave the feeder thread
+    blocked on the full prefetch queue."""
+    import threading
+
+    before = threading.active_count()
+    loader = Loader("train", base_config, seed=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finally: sets abandoned, drains, joins
+    # feeder should exit promptly
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        deadline -= 1
+        import time
+
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "feeder thread leaked"
+
+
+def test_oversampling_single_sided_split_falls_back(base_config):
+    """All-negative (or all-positive) splits shuffle instead of crashing on
+    rng.integers(0, 0)."""
+    cfg = dict(base_config, oversampling=True)
+    loader = Loader("train", cfg, seed=1)
+    loader.positive_records = []
+    idx = loader._epoch_indices()
+    assert len(idx) == len(loader.records)
+
+
+def test_diffusion_eval_padding(base_config):
+    """diffusion-unsup typed records have no 'mask' key; eval padding must
+    not KeyError on the filler."""
+    cfg = dict(base_config, task="diffusion-unsup", batch_size=4, synthetic_size=6)
+    loader = Loader("val", cfg, seed=1)
+    batches = list(loader)
+    # 6 records x 3 observation types = 18 samples -> 5 batches, last padded
+    assert all(b["image"].shape[0] == 4 for b in batches)
+    assert batches[-1]["sample_weight"].min() == 0.0
