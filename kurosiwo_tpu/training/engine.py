@@ -153,39 +153,34 @@ class TaskEngine:
           * pretrained_upernet: an HF hub name/path loaded via
             from_pretrained + first-conv/classifier patching."""
         cfg = self.config
-        if cfg.get("pretrained_checkpoint"):
-            from ..convert import convert
 
-            variables = convert(cfg["pretrained_checkpoint"], cfg["method"])
+        def apply_variables(variables: dict) -> None:
+            # one reconstruction path for every weight source; an empty/absent
+            # batch_stats subtree keeps the initialized one
             self.state = TrainState(
                 step=self.state.step,
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats") or self.state.batch_stats,
                 opt_state=self.state.opt_state,
             )
+
+        if cfg.get("pretrained_checkpoint"):
+            from ..convert import convert
+
+            apply_variables(convert(cfg["pretrained_checkpoint"], cfg["method"]))
         elif cfg.get("pretrained_encoder"):
             from ..convert import convert_torchvision_resnet, graft_encoder, load_torch_state_dict
 
             enc = convert_torchvision_resnet(load_torch_state_dict(cfg["pretrained_encoder"]))
-            variables = graft_encoder(
+            apply_variables(graft_encoder(
                 {"params": self.state.params, "batch_stats": self.state.batch_stats}, enc
-            )
-            self.state = TrainState(
-                step=self.state.step, params=variables["params"],
-                batch_stats=variables.get("batch_stats", self.state.batch_stats),
-                opt_state=self.state.opt_state,
-            )
+            ))
         elif cfg.get("pretrained_upernet"):
             from ..convert import load_pretrained_upernet
 
-            variables = load_pretrained_upernet(
+            apply_variables(load_pretrained_upernet(
                 cfg["pretrained_upernet"], cfg["num_channels"], cfg.get("num_classes", 3)
-            )
-            self.state = TrainState(
-                step=self.state.step, params=variables["params"],
-                batch_stats=variables.get("batch_stats") or self.state.batch_stats,
-                opt_state=self.state.opt_state,
-            )
+            ))
         elif cfg.get("pretrained") or cfg.get("encoder_weights"):
             # The reference DEFAULTS these methods to ImageNet-pretrained
             # encoders (model_utilities.py:110-157 passes
@@ -215,7 +210,6 @@ class TaskEngine:
         lr_value = float(self.lr_schedule(epoch))
         t0 = time.time()
         nbatches = 0
-        losses = []  # device scalars; fetched once at epoch end (no step sync)
         for index, device_batch in enumerate(device_prefetch(loader, self.plan)):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metric_state, aux = self._train_step(
@@ -228,7 +222,6 @@ class TaskEngine:
                 loss, grad_norm = aux
             else:
                 loss, grad_norm = aux, None
-            losses.append(loss)
             nbatches += 1
             if index % int(cfg.get("print_frequency", 10)) == 0:
                 # per-iteration metric snapshot from the cumulative device bank
@@ -246,7 +239,10 @@ class TaskEngine:
         summary = metric_state.summarize()
         summary["epoch_time_s"] = time.time() - t0
         summary["batches"] = nbatches
-        summary["mean_loss"] = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+        # the device bank already accumulates loss_sum/count inside the step;
+        # a host-side per-step scalar list would add one blocking fetch per
+        # step through the tunnel and pin every loss buffer all epoch
+        summary["mean_loss"] = float(summary.get("val_loss", float("nan")))
         return summary
 
     def run_eval(self, loader: Loader, settype: str = "Val") -> tuple[float, float, float, dict]:
@@ -332,7 +328,12 @@ def train_task(
             best_val = float(extra.get("best_val", 0.0))
             engine.logger.info(f"Resumed from latest checkpoint at epoch {start_epoch}")
         elif (ckpt.dir / "best_segmentation").exists():
-            engine.state, _ = ckpt.restore("best_segmentation", engine.state)
+            engine.state, extra = ckpt.restore("best_segmentation", engine.state)
+            # carry the checkpoint's metric so the next epoch can't clobber
+            # a better best with a worse model (save_best stores it)
+            best_val = float(extra.get("metric", 0.0))
+            engine.logger.info(
+                f"Resumed from best_segmentation (val mIoU {best_val:.3f})")
 
     for epoch in range(start_epoch, int(config.get("epochs", 1))):
         train_summary = engine.run_train_epoch(train_loader, epoch)
@@ -347,4 +348,10 @@ def train_task(
             ckpt.save_best(engine.state, epoch, miou)
         ckpt.save("latest", engine.state, extra={"epoch": epoch, "best_val": best_val})
     ckpt.wait()
+    # reference parity: the final Test eval runs on the BEST-val checkpoint,
+    # not the last epoch's weights (reference main.py:151-158 reloads
+    # best_segmentation.pt before model.eval())
+    if (ckpt.dir / "best_segmentation").exists():
+        engine.state, _ = ckpt.restore("best_segmentation", engine.state)
+        engine.logger.info("Restored best_segmentation for the final test eval")
     return engine

@@ -33,5 +33,42 @@ def test_latest_checkpoint_resume(base_config, tmp_path, capsys):
     engine2 = train_task(model, tr, va, te, cfg2, mcfg, "segmentation")
     out = capsys.readouterr().out
     assert "Resumed from latest checkpoint at epoch 1" in out
-    # exactly one more epoch of steps ran on top of the restored state
-    assert int(np.asarray(engine2.state.step)) == 2 * step_after_first
+    # exactly one more epoch of steps ran on top of the restored state.
+    # engine2.state itself now holds the BEST-val weights (reference-parity
+    # final-test semantics), so the step count is read from 'latest'
+    from kurosiwo_tpu.training.checkpoint import CheckpointManager
+
+    latest, extra = CheckpointManager(cfg["checkpoint_path"]).restore("latest", engine2.state)
+    assert int(np.asarray(latest.step)) == 2 * step_after_first
+    assert int(extra["epoch"]) == 1
+
+
+def test_final_state_is_best_checkpoint(base_config, tmp_path):
+    """train_task must hand back the BEST-val weights for the final test eval
+    (reference main.py reloads best_segmentation.pt before testing)."""
+    import jax
+    import numpy as np
+
+    from kurosiwo_tpu.data.pipeline import Loader
+    from kurosiwo_tpu.models import initialize_segmentation_model
+    from kurosiwo_tpu.training.checkpoint import CheckpointManager
+    from kurosiwo_tpu.training.engine import train_task
+
+    cfg = dict(
+        base_config,
+        batch_size=8,
+        synthetic_size=16,
+        synthetic_patch_size=64,
+        epochs=2,
+        print_frequency=1000,
+        checkpoint_path=str(tmp_path / "run"),
+    )
+    mcfg = {"backbone": "resnet18", "learning_rate": 1e-3, "lr_schedule": None, "optimizer": "adam"}
+    model = initialize_segmentation_model(cfg, mcfg)
+    loaders = [Loader(m, cfg, seed=3) for m in ("train", "val", "test")]
+    engine = train_task(model, *loaders, cfg, mcfg, "segmentation")
+
+    ckpt = CheckpointManager(cfg["checkpoint_path"])
+    best_state, extra = ckpt.restore("best_segmentation", engine.state)
+    for a, b in zip(jax.tree.leaves(engine.state.params), jax.tree.leaves(best_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
