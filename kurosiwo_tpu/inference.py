@@ -73,12 +73,26 @@ def predict_scene(
     """
     t = predictor.tile
     h, w, c = scene.shape
+    if not 0 <= overlap < t:
+        raise ValueError(
+            f"overlap must be in [0, tile={t}), got {overlap} — overlap==tile "
+            "gives a zero stride and larger values would leave the scene "
+            "mostly unpredicted")
     stride = t - overlap
     ny = max(1, math.ceil(max(h - overlap, 1) / stride))
     nx = max(1, math.ceil(max(w - overlap, 1) / stride))
     pad_h = (ny - 1) * stride + t - h
     pad_w = (nx - 1) * stride + t - w
-    padded = np.pad(scene, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0)), mode="reflect")
+    # symmetric (not reflect): reflect caps pad width at dim-1, which a
+    # scene smaller than the tile exceeds; symmetric allows pad == dim and
+    # repeated passes cover any remainder
+    padded = scene
+    while pad_h > 0 or pad_w > 0:
+        ph = min(max(pad_h, 0), padded.shape[0])
+        pw = min(max(pad_w, 0), padded.shape[1])
+        padded = np.pad(padded, ((0, ph), (0, pw), (0, 0)), mode="symmetric")
+        pad_h -= ph
+        pad_w -= pw
 
     tiles, coords = [], []
     for iy in range(ny):
@@ -102,8 +116,6 @@ def interpolate_pos_embedding(pos: jnp.ndarray, new_grid: tuple[int, int]) -> jn
     """Resample a (1, 1+g*g, D) learned position embedding to a new patch
     grid (bilinear over the spatial grid; cls slot dropped — see
     vit_whole_scene)."""
-    import math
-
     grid = pos[:, 1:]
     g = int(math.isqrt(grid.shape[1]))
     d = grid.shape[-1]
@@ -140,8 +152,6 @@ def vit_whole_scene(
     Returns (1, gh*gw, dim) patch features; reshape to (gh, gw, dim) for a
     dense head.
     """
-    from .models.vit import Transformer, patchify
-
     h, w, c = scene.shape
     ph = -(-h // patch_size) * patch_size
     pw = -(-w // patch_size) * patch_size
@@ -155,7 +165,13 @@ def vit_whole_scene(
 @functools.lru_cache(maxsize=8)
 def _scene_encoder(patch_size, dim, depth, heads, mlp_dim, dim_head, dtype, gh, gw):
     """Jitted whole-scene encoder, cached per (architecture, grid) so repeat
-    scenes of the same size reuse one compilation."""
+    scenes of the same size reuse one compilation.
+
+    The patch embed (LN -> Dense -> LN) is deliberately inlined over the raw
+    param tree rather than reusing ViT.embed_image: inference consumes a bare
+    converted checkpoint (no Module bind), runs the projection in f32 for the
+    4096-token grid, and is pinned to the model by the parity test
+    (test_inference.py) — keep the two in sync if the embed pipeline changes."""
     from .models.vit import Transformer, patchify
 
     transformer = Transformer(dim, depth, heads, dim_head, mlp_dim, dtype)
@@ -190,21 +206,22 @@ def load_variables(checkpoint: str, model, config: dict, example_shape) -> dict:
         from .convert import convert
 
         return convert(str(p), config.get("method", "snunet"))
-    variables = model.init(rng, jnp.zeros(example_shape), train=False)
-    if p.exists():
-        from .ops import optim
-        from .training.checkpoint import CheckpointManager
-        from .training.state import create_train_state
+    if not p.exists():
+        # fresh init is the documented behavior of checkpoint="" ONLY — a
+        # typo'd explicit path must not produce a confident garbage mask
+        raise FileNotFoundError(f"checkpoint {checkpoint!r} does not exist")
+    from .ops import optim
+    from .training.checkpoint import CheckpointManager
+    from .training.state import create_train_state
 
-        tx = optim.create_optimizer(config, config.get("model_config", {}), "segmentation")
-        state, _ = create_train_state(model, tx, rng, (jnp.zeros(example_shape),))
-        mgr = CheckpointManager(p.parent)
-        state, _ = mgr.restore(p.name, state)
-        out = {"params": state.params}
-        if state.batch_stats:
-            out["batch_stats"] = state.batch_stats
-        return out
-    return variables
+    tx = optim.create_optimizer(config, config.get("model_config", {}), "segmentation")
+    state, _ = create_train_state(model, tx, rng, (jnp.zeros(example_shape),))
+    mgr = CheckpointManager(p.parent)
+    state, _ = mgr.restore(p.name, state)
+    out = {"params": state.params}
+    if state.batch_stats:
+        out["batch_stats"] = state.batch_stats
+    return out
 
 
 def main(argv=None):

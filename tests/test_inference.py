@@ -84,3 +84,35 @@ def test_vit_whole_scene_features(base_config):
                              patch_size=16, dim=32, depth=2, heads=2, mlp_dim=64,
                              dim_head=16, dtype=jnp.float32)
     assert feats2.shape == (1, 5 * 6, 32)
+
+
+def test_predict_scene_much_smaller_than_tile():
+    """pad > dim-1 (reflect's cap) — symmetric multi-pass padding covers it."""
+    from kurosiwo_tpu.inference import TilePredictor, predict_scene
+
+    pred = TilePredictor(_ConstModel(), {}, tile=64, batch_size=2)
+    scene = np.random.RandomState(3).rand(20, 20, 2).astype(np.float32)
+    mask = predict_scene(pred, scene, overlap=16)
+    assert mask.shape == (20, 20)
+
+
+def test_predict_scene_rejects_bad_overlap():
+    from kurosiwo_tpu.inference import TilePredictor, predict_scene
+
+    pred = TilePredictor(_ConstModel(), {}, tile=64, batch_size=2)
+    scene = np.zeros((100, 100, 2), np.float32)
+    with pytest.raises(ValueError, match="overlap"):
+        predict_scene(pred, scene, overlap=64)
+    with pytest.raises(ValueError, match="overlap"):
+        predict_scene(pred, scene, overlap=300)
+
+
+def test_load_variables_missing_checkpoint_raises(base_config):
+    from kurosiwo_tpu.inference import load_variables
+    from kurosiwo_tpu.models.factory import initialize_segmentation_model
+
+    mcfg = {"backbone": "resnet18"}
+    cfg = dict(base_config)
+    model = initialize_segmentation_model(cfg, mcfg)
+    with pytest.raises(FileNotFoundError):
+        load_variables("/nonexistent/ckpt_typo", model, cfg, (1, 64, 64, 2))
