@@ -17,6 +17,14 @@ Differences from the reference (deliberate):
   * the reference's convlstm path loads `configs/method/temporal/convlstm.json`,
     which does not exist (latent bug, main.py:52); we look in both
     `method/temporal/` and `method/convlstm/`.
+  * `--dem`/`--slope` work without `--inputs`: the reference only forwards
+    the CLI args into the config when `--inputs` is set (main.py:65-68
+    passes None otherwise), silently dropping a bare `--dem` — a latent bug
+    we fix by always forwarding args (so `--dem` alone adds the DEM channel
+    and num_channels gains +1 vs the reference's ignored flag).
+  * the cd checkpoint timestamp is broadcast from process 0 under
+    multi-process runs (a per-process datetime.now() could split one run
+    across directories).
 """
 
 from __future__ import annotations
@@ -157,14 +165,12 @@ def load_config(
         model_config["backbone"] = backbone
     config.update(model_config)
 
-    if overrides:
-        # apply before update_config so keys that feed derived values
-        # (slc, dem, inputs, channels, task) shape the channel math ...
-        config.update(overrides)
     config = update_config(config, args=args, config_root=config_root, overrides=overrides)
     if overrides:
-        # ... and after, so overrides also win over merged files (batch_size
-        # etc.); derived channel math recomputed with the final values
+        # re-apply after update_config so overrides also win over the
+        # augmentation-file merge; derived channel math recomputed with the
+        # final values (update_config already applied them once before its
+        # own derivations)
         config.update(overrides)
         config["num_channels"] = derive_num_channels(config)
 
@@ -196,10 +202,19 @@ def create_checkpoint_directory(config: dict, model_config: dict, root: str = "c
         bb = model_config.get("backbone", "vit").lower()
         path = f"{root}/{method.lower()}/{bb}/{bb}_{config['num_channels']}/{config['track']}"
     elif config.get("task") == "cd":
+        import jax
         from datetime import datetime
 
-        ts = datetime.now().strftime("%Y%m%d%H%M%S")
-        path = f"{root}/{method.lower()}/{config['track']}_{ts}"
+        ts_int = int(datetime.now().strftime("%Y%m%d%H%M%S"))
+        if jax.process_count() > 1:
+            # all processes must agree on the run directory: a per-process
+            # datetime.now() can cross a second boundary and split the run
+            # across directories (divergent save/restore per shard)
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            ts_int = int(multihost_utils.broadcast_one_to_all(_np.int64(ts_int)))
+        path = f"{root}/{method.lower()}/{config['track']}_{ts_int}"
     elif config.get("task") == "finetune":
         path = f"{root}/finetuning"
     else:

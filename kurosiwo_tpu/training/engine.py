@@ -355,3 +355,36 @@ def train_task(
         engine.state, _ = ckpt.restore("best_segmentation", engine.state)
         engine.logger.info("Restored best_segmentation for the final test eval")
     return engine
+
+
+def evaluate_task(
+    model,
+    config: dict,
+    model_config: dict,
+    task: str,
+    seed: int = 999,
+) -> TaskEngine:
+    """Eval-only engine: restore best_segmentation and skip training
+    (reference `"test": true` surface, main.py:86-128 — it reloads the
+    checkpoint and only evaluates). A `pretrained_checkpoint` config key
+    loads at engine init instead; with neither source this raises rather
+    than silently scoring a random-init model."""
+    if config.get("method") == "finetune":
+        init_size = int(config.get("image_size", 224))
+    else:
+        init_size = min(224, int(config.get("synthetic_patch_size", 224) or 224))
+    engine = TaskEngine(
+        model, config, model_config, task, steps_per_epoch=1, seed=seed,
+        init_size=init_size,
+    )
+    ckpt = CheckpointManager(config.get("checkpoint_path", "checkpoints/run"))
+    if (ckpt.dir / "best_segmentation").exists():
+        engine.state, extra = ckpt.restore("best_segmentation", engine.state)
+        engine.logger.info(
+            f"Eval-only: restored best_segmentation (val mIoU "
+            f"{float(extra.get('metric', float('nan'))):.3f})")
+    elif not config.get("pretrained_checkpoint"):
+        raise FileNotFoundError(
+            f"\"test\": true but no best_segmentation checkpoint in "
+            f"{ckpt.dir} and no pretrained_checkpoint configured")
+    return engine

@@ -75,16 +75,30 @@ def main(argv=None):
     print("Samples in Val Set: ", val_loader.num_samples())
     print("Samples in Test Set: ", test_loader.num_samples())
 
+    # '"test": true' = eval-only (reference main.py:86-128: reload the best
+    # checkpoint, skip training, evaluate) — training would otherwise
+    # overwrite the very best_segmentation the user asked to score
+    eval_only = bool(configs.get("test"))
+
+    def _trained_or_restored(train_fn, model, engine_task):
+        if eval_only:
+            from kurosiwo_tpu.training.engine import evaluate_task
+
+            return evaluate_task(model, configs, model_configs, engine_task, seed=args.seed)
+        return train_fn(
+            model, train_loader, val_loader, test_loader,
+            configs=configs, model_configs=model_configs, seed=args.seed,
+        )
+
     if task == "segmentation" and configs["method"] == "convlstm":
         from kurosiwo_tpu.training.recurrent import (
             eval_recurrent_segmentation,
             train_recurrent_segmentation,
         )
 
-        engine = train_recurrent_segmentation(
-            initialize_recurrent_model(configs, model_configs),
-            train_loader, val_loader, test_loader,
-            configs=configs, model_configs=model_configs, seed=args.seed,
+        engine = _trained_or_restored(
+            train_recurrent_segmentation,
+            initialize_recurrent_model(configs, model_configs), "recurrent",
         )
         _, _, miou = eval_recurrent_segmentation(engine, test_loader, settype="Test")
         print("Test Mean IOU: ", miou)
@@ -94,10 +108,9 @@ def main(argv=None):
             train_semantic_segmentation,
         )
 
-        engine = train_semantic_segmentation(
-            initialize_segmentation_model(configs, model_configs),
-            train_loader, val_loader, test_loader,
-            configs=configs, model_configs=model_configs, seed=args.seed,
+        engine = _trained_or_restored(
+            train_semantic_segmentation,
+            initialize_segmentation_model(configs, model_configs), "segmentation",
         )
         _, _, miou = eval_semantic_segmentation(engine, test_loader, settype="Test")
         print("Test Mean IOU: ", miou)
@@ -112,10 +125,9 @@ def main(argv=None):
             train_change_detection,
         )
 
-        engine = train_change_detection(
-            initialize_cd_model(configs, model_configs, "train"),
-            train_loader, val_loader, test_loader,
-            configs=configs, model_configs=model_configs, seed=args.seed,
+        engine = _trained_or_restored(
+            train_change_detection,
+            initialize_cd_model(configs, model_configs, "train"), "cd",
         )
         _, _, miou = eval_change_detection(engine, test_loader, settype="Test")
         print("Test Mean IOU: ", miou)

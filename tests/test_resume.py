@@ -72,3 +72,38 @@ def test_final_state_is_best_checkpoint(base_config, tmp_path):
     best_state, extra = ckpt.restore("best_segmentation", engine.state)
     for a, b in zip(jax.tree.leaves(engine.state.params), jax.tree.leaves(best_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_task_eval_only(base_config, tmp_path):
+    """'"test": true' surface: evaluate_task restores best_segmentation
+    without training; with no checkpoint it raises instead of scoring a
+    random-init model."""
+    import jax
+    import numpy as np
+
+    from kurosiwo_tpu.data.pipeline import Loader
+    from kurosiwo_tpu.models.factory import initialize_segmentation_model
+    from kurosiwo_tpu.training.engine import evaluate_task, train_task
+
+    cfg = dict(
+        base_config,
+        batch_size=8,
+        synthetic_size=16,
+        synthetic_patch_size=64,
+        epochs=1,
+        print_frequency=1000,
+        checkpoint_path=str(tmp_path / "run"),
+    )
+    mcfg = {"backbone": "resnet18", "learning_rate": 1e-3, "lr_schedule": None, "optimizer": "adam"}
+
+    with pytest.raises(FileNotFoundError, match="best_segmentation"):
+        evaluate_task(initialize_segmentation_model(cfg, mcfg), cfg, mcfg, "segmentation")
+
+    model = initialize_segmentation_model(cfg, mcfg)
+    loaders = [Loader(m, cfg, seed=3) for m in ("train", "val", "test")]
+    trained = train_task(model, *loaders, cfg, mcfg, "segmentation")
+    evaluated = evaluate_task(initialize_segmentation_model(cfg, mcfg), cfg, mcfg, "segmentation")
+    for a, b in zip(jax.tree.leaves(trained.state.params), jax.tree.leaves(evaluated.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _, _, miou, _ = evaluated.run_eval(loaders[2], "Test")
+    assert 0.0 <= miou <= 100.0
