@@ -95,6 +95,12 @@ def cross_entropy_loss(
         cw = jnp.ones((num_classes,), jnp.float32)
     else:
         cw = jnp.asarray(class_weights, jnp.float32)
+    # the one-hot formulation ignores label==ignore_index only because that
+    # value lies outside [0, C) (one_hot emits a zero row); enforce it so a
+    # wider head can't silently train on invalid pixels
+    assert ignore_index >= num_classes, (
+        f"ignore_index {ignore_index} must be >= num_classes {num_classes} "
+        "for the one-hot ignore formulation")
     return _weighted_ce(logits, labels, cw)
 
 
@@ -123,6 +129,35 @@ def dice_loss(
     return jnp.mean(1.0 - dice_score)
 
 
+def smp_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = IGNORE_INDEX,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """smp.losses.DiceLoss(mode="multiclass", ignore_index=3) semantics —
+    the loss the reference's plain "dice" branch constructs
+    (utilities/utilities.py:325-326). Differs from `dice_loss` (the
+    torchgeometry-style form used inside the reference's ce+dice,
+    bce_and_dice.py): ignored pixels are MASKED OUT of both prediction and
+    one-hot (not relabeled to class 0), no eps is added to the one-hot, the
+    score aggregates per class over batch+spatial (smp dims=(0, 2)) and the
+    per-class losses of classes absent from the batch are zeroed before the
+    class mean."""
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    valid = (labels != ignore_index)[..., None].astype(jnp.float32)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * valid
+    probs = probs * valid
+    dims = tuple(range(probs.ndim - 1))  # batch + spatial, per class
+    intersection = jnp.sum(probs * one_hot, axis=dims)
+    cardinality = jnp.sum(probs + one_hot, axis=dims)
+    score = 2.0 * intersection / jnp.maximum(cardinality, eps)
+    loss = 1.0 - score
+    present = (jnp.sum(one_hot, axis=dims) > 0).astype(jnp.float32)
+    return jnp.mean(loss * present)
+
+
 def focal_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -134,6 +169,9 @@ def focal_loss(
     over valid pixels — matches the torch.hub 'adeelh' focal loss the
     reference loads (utilities/utilities.py:333-341)."""
     num_classes = logits.shape[-1]
+    assert ignore_index >= num_classes, (
+        f"ignore_index {ignore_index} must be >= num_classes {num_classes} "
+        "for the one-hot ignore formulation")
     logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)  # zero rows when ignored
@@ -217,7 +255,9 @@ def create_loss(config: dict, mode: str = "val") -> Callable[[jnp.ndarray, jnp.n
     if name == "iou":
         return lovasz_softmax_loss
     if name == "dice":
-        return functools.partial(dice_loss, use_softmax=True)
+        # smp.DiceLoss semantics, NOT dice_loss — the torchgeometry form is
+        # only what the reference's ce+dice composes (bce_and_dice.py:13)
+        return smp_dice_loss
     if name == "focal":
         return functools.partial(focal_loss, alpha=weights, gamma=2.0)
     if name == "ce+dice":

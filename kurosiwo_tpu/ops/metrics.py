@@ -147,8 +147,14 @@ class MetricState:
 
     @staticmethod
     def create(num_zones: int = 3, num_classes: int = NUM_CLASSES + 1) -> "MetricState":
-        z = jnp.zeros((num_zones, num_classes, num_classes), jnp.int32)
-        c = jnp.zeros((num_classes, num_classes), jnp.int32)
+        # f32 banks, NOT int32: a per-step cm cell adds up to ~6.4e6 counts
+        # (b128 x 224^2), so an int32 epoch accumulator wraps negative after
+        # ~335 background-dominant steps per device (~43k patches — well
+        # within a real epoch). int64 needs global x64 mode on TPU; f32 is
+        # exact below 2^24 per cell-update and caps the epoch-scale error at
+        # ~1.2e-7 relative — invisible at the 3-decimal metric surface.
+        z = jnp.zeros((num_zones, num_classes, num_classes), jnp.float32)
+        c = jnp.zeros((num_classes, num_classes), jnp.float32)
         return MetricState(
             cm=c, zones=z, loss_sum=jnp.zeros((), jnp.float32), count=jnp.zeros((), jnp.float32)
         )
@@ -161,14 +167,20 @@ class MetricState:
         batch_weight: jnp.ndarray | float = 1.0,
         clz: jnp.ndarray | None = None,
     ) -> "MetricState":
-        cm = self.cm + confusion_matrix(predictions, labels).astype(jnp.int32)
         zones = self.zones
         if clz is not None:
+            # one per-sample confusion pass serves BOTH banks: the zone bank
+            # is a (Z, B) one-hot contraction of the per-sample cms (clz ids
+            # are 1..Z; out-of-range rows one-hot to zero), and the main cm
+            # is their plain sum — the previous per-zone vmap recomputed the
+            # full-batch one-hot einsum once per zone (3x the update cost)
             num_zones = self.zones.shape[0]
-            zone_updates = jax.vmap(
-                lambda z: masked_confusion_matrix(predictions, labels, clz == z + 1)
-            )(jnp.arange(num_zones))
-            zones = zones + zone_updates.astype(jnp.int32)
+            per = per_sample_confusion(predictions, labels).astype(jnp.float32)
+            zmask = jax.nn.one_hot(clz - 1, num_zones, dtype=jnp.float32)
+            zones = zones + jnp.einsum("bz,bcd->zcd", zmask, per)
+            cm = self.cm + jnp.sum(per, axis=0)
+        else:
+            cm = self.cm + confusion_matrix(predictions, labels).astype(jnp.float32)
         return MetricState(
             cm=cm,
             zones=zones,
@@ -186,7 +198,7 @@ class MetricState:
         fused Pallas tail, ops/pallas_tail.py) — f32 counts are exact below
         2^24 per batch."""
         return MetricState(
-            cm=self.cm + cm.astype(jnp.int32),
+            cm=self.cm + cm.astype(jnp.float32),
             zones=self.zones,
             loss_sum=self.loss_sum + loss * batch_weight,
             count=self.count + batch_weight,

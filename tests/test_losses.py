@@ -116,3 +116,55 @@ def test_create_loss_dispatch(base_config):
         fn = losses.create_loss(cfg, mode="train")
         out = fn(jnp.asarray(_rand((1, 8, 8, 3))), jnp.asarray(_rand_labels((1, 8, 8))))
         assert np.isfinite(float(out))
+
+
+def test_smp_dice_semantics():
+    """create_loss('dice') follows smp.DiceLoss(mode='multiclass',
+    ignore_index=3) — utilities/utilities.py:325-326 — not the
+    torchgeometry-style dice the reference only composes inside ce+dice.
+    Oracle: a direct torch transcription of smp's multiclass path
+    (soft dice over dims=(0,2), ignored pixels masked out, absent-class
+    losses zeroed before the class mean)."""
+    import torch
+    import torch.nn.functional as F
+
+    from kurosiwo_tpu.ops.losses import create_loss, smp_dice_loss
+
+    rng = np.random.RandomState(11)
+    logits = rng.randn(2, 8, 8, 3).astype(np.float32)
+    labels = rng.randint(0, 4, (2, 8, 8))
+
+    def torch_smp_dice(logits_nhwc, labels_hw, eps=1e-7):
+        t = torch.tensor(logits_nhwc).permute(0, 3, 1, 2)  # NCHW
+        y = torch.tensor(labels_hw, dtype=torch.long)
+        bs, c = t.shape[0], t.shape[1]
+        y = y.view(bs, -1)
+        pred = t.log_softmax(1).exp().view(bs, c, -1)
+        mask = y != 3
+        pred = pred * mask.unsqueeze(1)
+        yh = F.one_hot(y * mask, c).permute(0, 2, 1) * mask.unsqueeze(1)
+        dims = (0, 2)
+        inter = torch.sum(pred * yh, dim=dims)
+        card = torch.sum(pred + yh, dim=dims)
+        score = 2.0 * inter / card.clamp_min(eps)
+        loss = 1.0 - score
+        loss = loss * (yh.sum(dims) > 0).float()
+        return loss.mean().item()
+
+    ours = float(smp_dice_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    ref = torch_smp_dice(logits, labels)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+    # and the factory routes 'dice' here
+    fn = create_loss({"loss_function": "dice"}, mode="train")
+    np.testing.assert_allclose(float(fn(jnp.asarray(logits), jnp.asarray(labels))), ref, rtol=1e-5)
+
+
+def test_ignore_index_guard():
+    """The one-hot ignore trick only works when ignore_index >= num_classes;
+    a wider head must fail loudly instead of training on invalid pixels."""
+    from kurosiwo_tpu.ops.losses import cross_entropy_loss
+
+    logits4 = jnp.zeros((1, 4, 4, 4), jnp.float32)
+    labels = jnp.zeros((1, 4, 4), jnp.int32)
+    with pytest.raises(AssertionError, match="ignore_index"):
+        cross_entropy_loss(logits4, labels, ignore_index=3)

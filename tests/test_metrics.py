@@ -82,3 +82,33 @@ def test_derive_f1_low_precision_recall_regime():
     # p = r = 0.2 -> f1 = 2*0.2*0.2/0.4 = 0.2 (the old clamp gave 0.08)
     np.testing.assert_allclose(out["fscore"][0], 0.2, rtol=1e-12)
     np.testing.assert_allclose(out["fscore"][1], 0.2, rtol=1e-12)
+
+
+def test_zone_bank_single_pass_equivalence():
+    """The (Z,B) one-hot contraction of per-sample cms equals the per-zone
+    masked confusion matrices it replaced."""
+    from kurosiwo_tpu.ops.metrics import MetricState, masked_confusion_matrix
+
+    rng = np.random.RandomState(4)
+    preds = jnp.asarray(rng.randint(0, 3, (6, 16, 16)))
+    labels = jnp.asarray(rng.randint(0, 4, (6, 16, 16)))
+    clz = jnp.asarray(rng.randint(1, 4, (6,)))
+
+    ms = MetricState.create().update(preds, labels, jnp.float32(0.0), 1.0, clz=clz)
+    for z in range(3):
+        want = masked_confusion_matrix(preds, labels, clz == z + 1)
+        np.testing.assert_array_equal(np.asarray(ms.zones[z]), np.asarray(want))
+    # the main cm is the zone banks' total (clz ids cover every sample here)
+    np.testing.assert_array_equal(np.asarray(ms.cm), np.asarray(ms.zones.sum(0)))
+
+
+def test_metric_bank_epoch_scale_counts():
+    """Epoch-scale accumulation must not wrap: int32 banks overflowed after
+    ~2^31 counts in one cell (a real KuroSiwo epoch); f32 banks keep going."""
+    from kurosiwo_tpu.ops.metrics import MetricState
+
+    big = jnp.full((4, 4), 2.0**28, jnp.float32)
+    ms = MetricState.create()
+    for _ in range(16):  # 16 * 2^28 = 2^32 > int32 range
+        ms = ms.update_from_cm(big, jnp.float32(0.0), 1.0)
+    assert float(ms.cm[0, 0]) == 2.0**32
