@@ -123,6 +123,27 @@ def adam_bf16_moments(learning_rate, b1=0.9, b2=0.999, eps=1e-8):
     )
 
 
+def resolve_moment_dtype(config: dict, model_config: dict | None, task: str) -> str:
+    """Single source of truth for the Adam moment-storage dtype (the train
+    step's gradient-handoff dtype must match it — training/mae.py consumes
+    this too, so the two can't silently diverge)."""
+    return str(
+        (model_config or {}).get(
+            "optimizer_moment_dtype",
+            config.get("optimizer_moment_dtype",
+                       "bfloat16" if task == "mae" else "float32"))
+    )
+
+
+# inject_hyperparams with hyperparam_dtype=None derives the stored
+# hyperparam dtype from the UPDATES' leaves: a bf16 gradient handoff flips
+# every stored hyperparam (learning_rate, b2, eps...) to bf16 after step 1 —
+# rounding b2=0.999/eps blew up the bias correction (measured NaN), and the
+# changed opt_state aval forces a full retrace of the jitted step at step 2.
+# Pinning f32 fixes the mechanism.
+_F32_HYPER = dict(hyperparam_dtype=jnp.float32)
+
+
 def create_optimizer(config: dict, model_config: dict, task: str = "segmentation"):
     """Returns an optax.GradientTransformation with injected 'learning_rate'."""
     lr = float(model_config.get("learning_rate", config.get("learning_rate", 1e-3)))
@@ -133,24 +154,21 @@ def create_optimizer(config: dict, model_config: dict, task: str = "segmentation
         # and 1.2 GB of HBM saved; see scale_by_adam_bf16). f32 opt-out via
         # config. Segmentation/CD keep plain f32 Adam (small params, and the
         # torch-Adam checkpoint-resume parity is exact there).
-        moment_dtype = str(
-            model_config.get("optimizer_moment_dtype",
-                             config.get("optimizer_moment_dtype",
-                                        "bfloat16" if task == "mae" else "float32"))
-        )
+        moment_dtype = resolve_moment_dtype(config, model_config, task)
         adam = adam_bf16_moments if moment_dtype == "bfloat16" else optax.adam
-        # NOTE: inject_hyperparams converts injected floats to the update
-        # dtype — with bf16 gradient handoff that rounds b2=0.999 and eps,
-        # blowing up the bias correction (measured NaN on step 1). The lambda
-        # closes over everything but learning_rate, so only lr is injected.
         if lr_scales:
             return optax.inject_hyperparams(
                 lambda learning_rate: optax.chain(
                     adam(learning_rate), lr_scale_by_path(lr_scales)
-                )
+                ), **_F32_HYPER
             )(learning_rate=lr)
+        if adam is optax.adam:
+            # direct injection keeps {learning_rate, b1, b2, eps, eps_root}
+            # in opt_state.hyperparams — the structure existing f32-Adam
+            # checkpoints were saved with
+            return optax.inject_hyperparams(optax.adam, **_F32_HYPER)(learning_rate=lr)
         return optax.inject_hyperparams(
-            lambda learning_rate: adam(learning_rate)
+            lambda learning_rate: adam(learning_rate), **_F32_HYPER
         )(learning_rate=lr)
 
     # change detection / recurrent
@@ -159,23 +177,24 @@ def create_optimizer(config: dict, model_config: dict, task: str = "segmentation
         mom = float(model_config.get("momentum", 0.9))
         wd = float(model_config.get("weight_decay", 0.0))
         return optax.inject_hyperparams(
-            lambda learning_rate: _sgd(learning_rate, mom, wd)
+            lambda learning_rate: _sgd(learning_rate, mom, wd), **_F32_HYPER
         )(learning_rate=lr)
 
     opt_name = model_config.get("optimizer", "adam")
     if opt_name == "adam":
-        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        return optax.inject_hyperparams(optax.adam, **_F32_HYPER)(learning_rate=lr)
     if opt_name == "adamw":
         b1, b2 = model_config.get("betas", [0.9, 0.999])
         wd = float(model_config.get("weight_decay", 0.0))
         return optax.inject_hyperparams(
-            lambda learning_rate: optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=wd)
+            lambda learning_rate: optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=wd),
+            **_F32_HYPER,
         )(learning_rate=lr)
     if opt_name == "sgd":
         mom = float(model_config.get("momentum", 0.9))
         wd = float(model_config.get("weight_decay", 0.0))
         return optax.inject_hyperparams(
-            lambda learning_rate: _sgd(learning_rate, mom, wd)
+            lambda learning_rate: _sgd(learning_rate, mom, wd), **_F32_HYPER
         )(learning_rate=lr)
     raise NotImplementedError(f"optimizer {opt_name!r} is not supported")
 

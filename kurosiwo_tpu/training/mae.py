@@ -101,7 +101,7 @@ def train(configs: dict, seed: int = 999, model_configs: dict | None = None, max
     )
     step_fn = jax.jit(
         make_mae_train_step(model, tx, accum,
-                            bf16_grads=str(configs.get('optimizer_moment_dtype', 'bfloat16')) == 'bfloat16'),
+                            bf16_grads=optim.resolve_moment_dtype(configs, None, "mae") == "bfloat16"),
         in_shardings=(replicated(plan), batch_sharding(plan), replicated(plan), replicated(plan)),
         out_shardings=(replicated(plan), replicated(plan)),
         donate_argnums=(0,),

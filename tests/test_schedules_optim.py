@@ -195,3 +195,39 @@ def test_create_optimizer_mae_defaults_bf16_moments():
     )
     state3 = tx3.init({"w": jnp.zeros((4, 4), jnp.float32)})
     assert not [l for l in jax.tree.leaves(state3) if l.dtype == jnp.bfloat16]
+
+
+def test_hyperparams_stay_f32_under_bf16_grads():
+    """inject_hyperparams must not flip stored hyperparams to bf16 on a bf16
+    gradient handoff: the flipped learning_rate leaf changes the opt_state
+    aval (full retrace of the jitted step at step 2) and quantizes the lr;
+    flipped b2/eps blew up the bias correction (historical NaN)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.ops import optim
+
+    cfg = {"learning_rate": 1e-4}
+    tx = optim.create_optimizer(cfg, {"learning_rate": 1e-4}, task="mae")
+    params = {"w": jnp.ones((8,), jnp.float32)}
+    state = tx.init(params)
+    grads = {"w": jnp.full((8,), 0.5, jnp.bfloat16)}
+    _, new_state = tx.update(grads, state, params)
+
+    def hyper_dtypes(s):
+        return {k: getattr(v, "dtype", None) for k, v in s.hyperparams.items()}
+
+    assert all(d == jnp.float32 for d in hyper_dtypes(new_state).values()), hyper_dtypes(new_state)
+    # identical avals across steps = no retrace
+    assert jax.tree.structure(state) == jax.tree.structure(new_state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(new_state)):
+        assert jnp.asarray(a).dtype == jnp.asarray(b).dtype
+
+
+def test_resolve_moment_dtype_single_source():
+    from kurosiwo_tpu.ops import optim
+
+    assert optim.resolve_moment_dtype({}, None, "mae") == "bfloat16"
+    assert optim.resolve_moment_dtype({}, None, "segmentation") == "float32"
+    assert optim.resolve_moment_dtype({"optimizer_moment_dtype": "float32"}, None, "mae") == "float32"
+    assert optim.resolve_moment_dtype({}, {"optimizer_moment_dtype": "bfloat16"}, "segmentation") == "bfloat16"
