@@ -83,11 +83,22 @@ def _crop_resize_nearest(mask2d, y0, x0, ch, cw, out_h, out_w):
     return jnp.round(out).astype(mask2d.dtype)
 
 
-def random_resized_crop(key, images: list, masks: list, out_size: int, scale):
+def random_resized_crop(key, images: list, masks: list, out_size: int, scale, p: float = 1.0):
     """Paired crop of every image (bilinear) and mask (nearest) in a sample
-    batch. images: list of (B, H, W, C); masks: list of (B, H, W)."""
+    batch. images: list of (B, H, W, C); masks: list of (B, H, W).
+
+    Per-sample probability gate like A.RandomResizedCrop(p=...): samples the
+    coin per image; a skipped sample gets the FULL-image box (a plain resize
+    to out_size — identity when out_size == H, matching albumentations'
+    keep-original semantics at the shipped configs)."""
     b, h, w = images[0].shape[:3]
     y0, x0, ch, cw = _sample_crop_boxes(key, b, h, w, scale)
+    if p < 1.0:
+        apply = jax.random.bernoulli(jax.random.fold_in(key, 7), p, (b,))
+        y0 = jnp.where(apply, y0, 0)
+        x0 = jnp.where(apply, x0, 0)
+        ch = jnp.where(apply, ch, h)
+        cw = jnp.where(apply, cw, w)
 
     def one(img, y0, x0, ch, cw, method):
         return _crop_resize(img, y0, x0, ch, cw, out_size, out_size, method)
@@ -123,28 +134,11 @@ def gaussian_blur(key, images: list, p: float, sigma_limit=(0.1, 2.0)):
     sigma = jax.random.uniform(ks, (b,), minval=sigma_limit[0], maxval=sigma_limit[1])
     apply = jax.random.bernoulli(kp, p, (b,))
     radius = max(1, int(math.ceil(3 * sigma_limit[1])))
-    offsets = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    # Separable blur vectorized over batch with PER-SAMPLE kernels: build
-    # (B, K) weights and contract over a stack of K shifted views per axis
-    # (pure VPU elementwise+reduce; no gathers, static shapes).
-    K = 2 * radius + 1
-    kern = jnp.exp(-0.5 * (offsets[None, :] / sigma[:, None]) ** 2)
-    kern = kern / jnp.sum(kern, axis=1, keepdims=True)  # (B, K)
-
-    def blur_axis(img, axis):
-        pads = [(0, 0)] * img.ndim
-        pads[axis] = (radius, radius)
-        padded = jnp.pad(img, pads, mode="reflect")
-        stack = jnp.stack(
-            [jax.lax.slice_in_dim(padded, i, i + img.shape[axis], axis=axis) for i in range(K)],
-            axis=-1,
-        )  # (..., K)
-        w = kern.reshape((img.shape[0],) + (1,) * (img.ndim - 1) + (K,))
-        return jnp.sum(stack * w, axis=-1)
-
+    # one shared separable-blur kernel (_blur2d): per-sample (B, K) weights
+    # contracted over K shifted views per axis — pure VPU, static shapes
     out = []
     for img in images:
-        blurred = blur_axis(blur_axis(img.astype(jnp.float32), 1), 2).astype(img.dtype)
+        blurred = _blur2d(img.astype(jnp.float32), sigma, 2 * radius + 1).astype(img.dtype)
         out.append(jnp.where(apply[:, None, None, None], blurred, img))
     return out
 
@@ -167,7 +161,10 @@ def multiplicative_noise(key, images: list, p: float, limits=(0.9, 1.1)):
     for i, img in enumerate(images):
         k1, k2 = jax.random.split(jax.random.fold_in(key, i))
         apply = jax.random.bernoulli(k1, p, (b, 1, 1, 1))
-        mult = jax.random.uniform(k2, img.shape, minval=limits[0], maxval=limits[1])
+        # ONE scalar gain per image: A.MultiplicativeNoise defaults are
+        # elementwise=False, per_channel=False (per-pixel noise would be a
+        # materially different augmentation than the reference's)
+        mult = jax.random.uniform(k2, (b, 1, 1, 1), minval=limits[0], maxval=limits[1])
         out.append(jnp.where(apply, img * mult.astype(img.dtype), img))
     return out
 
@@ -344,17 +341,25 @@ def augment_batch(key, batch: dict, config: dict) -> dict:
     keys = jax.random.split(key, 8)
     rrc = aug.get("RandomResizedCrop", {})
     if rrc.get("p", 0) > 0:
+        out_size = int(rrc.get("value", images[0].shape[1]))
         images, masks = random_resized_crop(
-            keys[0], images, masks, int(rrc.get("value", images[0].shape[1])),
-            tuple(rrc.get("scale", (0.2, 1.0))),
+            keys[0], images, masks, out_size,
+            tuple(rrc.get("scale", (0.2, 1.0))), p=float(rrc["p"]),
         )
+        if out_size != orig_images[0].shape[1]:
+            # the discard-if-empty fallback below must live in the OUTPUT
+            # geometry: a full-image resize of the originals (the same box
+            # a p-skipped sample gets)
+            orig_images, orig_masks = random_resized_crop(
+                keys[7], orig_images, orig_masks, out_size, (1.0, 1.0), p=0.0,
+            )
     gb = aug.get("GaussianBlur", {})
     if gb.get("p", 0) > 0:
         images = gaussian_blur(keys[1], images, gb["p"], tuple(gb.get("sigma_limit", (0.1, 2.0))))
-    images, masks = flips(
-        keys[2], images, masks,
-        aug.get("HorizontalFlip", {}).get("p", 0.0), aug.get("VerticalFlip", {}).get("p", 0.0),
-    )
+    p_hflip = aug.get("HorizontalFlip", {}).get("p", 0.0)
+    p_vflip = aug.get("VerticalFlip", {}).get("p", 0.0)
+    if p_hflip > 0 or p_vflip > 0:  # bernoulli(0) is runtime — XLA can't fold it
+        images, masks = flips(keys[2], images, masks, p_hflip, p_vflip)
     et = aug.get("ElasticTransform", {})
     if et.get("p", 0) > 0:
         images, masks = elastic_transform(

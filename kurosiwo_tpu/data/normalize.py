@@ -37,13 +37,22 @@ def normalize(img: np.ndarray, mean, std) -> np.ndarray:
 
 
 def _min_max_bounds(stats: dict, activation, img_name: str, channels: list, clamp: float | None):
-    """Per-channel (mins, maxs) from the per-activation stats table."""
+    """Per-channel (mins, maxs) from the per-activation stats table.
+
+    Reference quirk kept (Dataset.py:200-276): with clamping on, the
+    MULTI-channel branch caps the vh/vv ratio at 1.0 (Dataset.py:229-231)
+    while the SINGLE-channel ["vh/vv"] branch caps it at clamp_input
+    (Dataset.py:263-264) — the asymmetry is the reference's, not ours."""
     a = stats[activation]
+    single = len(channels) == 1
     mins, maxs = [], []
     for ch in channels:
         if ch == "vh/vv":
             lo = a[f"{img_name}_vh"][0] / a[f"{img_name}_vv"][0]
-            hi = 1.0 if clamp is not None else a[f"{img_name}_vh"][1] / a[f"{img_name}_vv"][1]
+            if clamp is not None:
+                hi = clamp if single else 1.0
+            else:
+                hi = a[f"{img_name}_vh"][1] / a[f"{img_name}_vv"][1]
         else:
             lo = a[f"{img_name}_{ch}"][0]
             hi = clamp if clamp is not None else a[f"{img_name}_{ch}"][1]

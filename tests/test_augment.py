@@ -215,3 +215,42 @@ def test_gaussian_noise_reference_key():
         cfg = {"data_augmentations": True, "augmentations": {keyname: {"p": 1.0}}}
         out = augment_batch(jax.random.PRNGKey(0), b, cfg)
         assert not np.array_equal(np.asarray(out["post"]), np.asarray(b["post"])), keyname
+
+
+def test_rrc_probability_gates_per_sample():
+    """p<1 must leave some samples uncropped (full-image box == identity when
+    out_size == H), like A.RandomResizedCrop(p=...)."""
+    from kurosiwo_tpu.data.augment import random_resized_crop
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(16, 32, 32, 2), jnp.float32)
+    mask = jnp.asarray(rng.randint(0, 3, (16, 32, 32)))
+    (out,), (mout,) = random_resized_crop(
+        jax.random.PRNGKey(0), [img], [mask], 32, (0.2, 0.4), p=0.5
+    )
+    unchanged = np.array([np.allclose(np.asarray(out[i]), np.asarray(img[i]), atol=1e-5)
+                          for i in range(16)])
+    assert 0 < unchanged.sum() < 16  # some skipped, some cropped
+
+
+def test_mult_noise_is_scalar_per_image():
+    """A.MultiplicativeNoise defaults: elementwise=False -> ONE gain per image."""
+    from kurosiwo_tpu.data.augment import multiplicative_noise
+
+    img = jnp.ones((4, 16, 16, 2), jnp.float32)
+    (out,) = multiplicative_noise(jax.random.PRNGKey(1), [img], p=1.0)
+    per_image = np.asarray(out).reshape(4, -1)
+    for row in per_image:
+        assert np.allclose(row, row[0]), "noise must be a single scalar gain per image"
+
+
+def test_min_max_single_channel_ratio_clamp_bound():
+    """Reference quirk: clamp caps vh/vv at 1.0 only in the MULTI-channel
+    branch; single-channel ['vh/vv'] uses clamp_input (Dataset.py:263-264)."""
+    from kurosiwo_tpu.data.normalize import _min_max_bounds
+
+    stats = {130: {"flood_vh": (0.01, 0.5), "flood_vv": (0.02, 0.8)}}
+    _, maxs_multi = _min_max_bounds(stats, 130, "flood", ["vv", "vh/vv"], clamp=0.15)
+    assert maxs_multi[1] == 1.0
+    _, maxs_single = _min_max_bounds(stats, 130, "flood", ["vh/vv"], clamp=0.15)
+    assert maxs_single[0] == 0.15
