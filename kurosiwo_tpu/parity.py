@@ -58,7 +58,6 @@ def build_parser():
 
 def run(args) -> dict:
     from .config import load_config
-    from .convert import convert
     from .data.pipeline import prepare_loaders
     from .models.factory import (
         initialize_cd_model,
@@ -87,15 +86,16 @@ def run(args) -> dict:
     else:
         model = initialize_segmentation_model(configs, mcfg)
 
-    engine = TaskEngine(model, configs, mcfg, task, steps_per_epoch=1, seed=args.seed)
-
-    variables = convert(args.checkpoint, args.model)
-    state = engine.state
-    engine.state = type(state)(
-        step=state.step,
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", state.batch_stats) or state.batch_stats,
-        opt_state=state.opt_state,
+    # load through the engine's own pretrained_checkpoint path (the exact
+    # loader production uses — no hand-rolled state swap to drift), with the
+    # same finetune init_size rule as train_task/evaluate_task
+    configs["pretrained_checkpoint"] = args.checkpoint
+    if configs.get("method") == "finetune":
+        init_size = int(configs.get("image_size", 224))
+    else:
+        init_size = min(224, int(configs.get("synthetic_patch_size", 224) or 224))
+    engine = TaskEngine(
+        model, configs, mcfg, task, steps_per_epoch=1, seed=args.seed, init_size=init_size
     )
 
     acc, mean_f1, miou, summary = engine.run_eval(test_loader, "Test")

@@ -322,12 +322,12 @@ def train_task(
         # preemption-safe resume: prefer the rolling "latest" checkpoint
         # (carries epoch + best metric); fall back to best_segmentation
         # (reference semantics, utilities/utilities.py:300-303)
-        if (ckpt.dir / "latest").exists():
+        if ckpt.has("latest"):
             engine.state, extra = ckpt.restore("latest", engine.state)
             start_epoch = int(extra.get("epoch", -1)) + 1
             best_val = float(extra.get("best_val", 0.0))
             engine.logger.info(f"Resumed from latest checkpoint at epoch {start_epoch}")
-        elif (ckpt.dir / "best_segmentation").exists():
+        elif ckpt.has("best_segmentation"):
             engine.state, extra = ckpt.restore("best_segmentation", engine.state)
             # carry the checkpoint's metric so the next epoch can't clobber
             # a better best with a worse model (save_best stores it)
@@ -351,7 +351,7 @@ def train_task(
     # reference parity: the final Test eval runs on the BEST-val checkpoint,
     # not the last epoch's weights (reference main.py:151-158 reloads
     # best_segmentation.pt before model.eval())
-    if (ckpt.dir / "best_segmentation").exists():
+    if ckpt.has("best_segmentation"):
         engine.state, _ = ckpt.restore("best_segmentation", engine.state)
         engine.logger.info("Restored best_segmentation for the final test eval")
     return engine
@@ -378,7 +378,7 @@ def evaluate_task(
         init_size=init_size,
     )
     ckpt = CheckpointManager(config.get("checkpoint_path", "checkpoints/run"))
-    if (ckpt.dir / "best_segmentation").exists():
+    if ckpt.has("best_segmentation"):
         engine.state, extra = ckpt.restore("best_segmentation", engine.state)
         engine.logger.info(
             f"Eval-only: restored best_segmentation (val mIoU "

@@ -23,9 +23,11 @@ def test_latest_checkpoint_resume(base_config, tmp_path, capsys):
     tr, va, te = Loader("train", cfg, 1), Loader("val", cfg, 1), Loader("test", cfg, 1)
     model = initialize_segmentation_model(cfg, mcfg)
 
-    # epoch 0 runs and writes 'latest'
+    # epoch 0 runs and writes 'latest' (alternating-slot layout + pointer)
+    from kurosiwo_tpu.training.checkpoint import CheckpointManager as _CM
+
     engine1 = train_task(model, tr, va, te, cfg, mcfg, "segmentation")
-    assert (tmp_path / "ckpt" / "latest").exists()
+    assert _CM(cfg["checkpoint_path"]).has("latest")
     step_after_first = int(np.asarray(engine1.state.step))
 
     # simulate a restart asking for 2 epochs total: epoch 0 must be skipped
@@ -107,3 +109,39 @@ def test_evaluate_task_eval_only(base_config, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     _, _, miou, _ = evaluated.run_eval(loaders[2], "Test")
     assert 0.0 <= miou <= 100.0
+
+
+def test_checkpoint_slots_never_delete_committed_copy(base_config, tmp_path):
+    """Preemption safety: overwriting a name must not remove the previously
+    committed checkpoint before the replacement commits. With alternating
+    slots, the pointer always targets a fully-written directory, and stale
+    metadata can't outlive the weights it described."""
+    import jax.numpy as jnp
+
+    from kurosiwo_tpu.training.checkpoint import CheckpointManager
+    from kurosiwo_tpu.training.state import TrainState
+
+    def mkstate(v):
+        return TrainState(step=jnp.asarray(v), params={"w": jnp.full((4,), float(v))},
+                          batch_stats={}, opt_state=())
+
+    ckpt = CheckpointManager(tmp_path / "ck")
+    ckpt.save("latest", mkstate(1), extra={"epoch": 1})
+    ckpt.wait()
+    p1 = ckpt._read_ptr("latest")
+    assert p1 and (tmp_path / "ck" / p1["slot"]).exists()
+
+    # second save goes to the OTHER slot; the first slot survives until the
+    # new one is committed and the pointer flips
+    ckpt.save("latest", mkstate(2), extra={"epoch": 2})
+    ckpt.wait()
+    p2 = ckpt._read_ptr("latest")
+    assert p2["slot"] != p1["slot"]
+    restored, extra = ckpt.restore("latest", mkstate(0))
+    assert int(restored.step) == 2 and extra["epoch"] == 2
+
+    # a save WITHOUT extra must not leak the previous metadata
+    ckpt.save("latest", mkstate(3))
+    ckpt.wait()
+    _, extra3 = ckpt.restore("latest", mkstate(0))
+    assert extra3 == {}
