@@ -250,16 +250,20 @@ def graft_encoder(variables: dict, encoder_vars: dict, encoder_name: str = "enco
     converted pretrained weights; shapes must match except the stem's input
     channels (SAR channel counts differ from imagenet's 3 — the stem conv is
     kept at its random init in that case, like smp's first-conv patching)."""
-    import jax
-
     out_params = dict(variables["params"])
     enc = dict(out_params[encoder_name])
     new_enc_params = encoder_vars["params"]
+    stem_grafted = True
     for k, v in new_enc_params.items():
         if k == "stem":
-            old_kernel = jax.tree.leaves(enc["stem"])[0]
+            # compare the CONV KERNELS by explicit path — tree.leaves order
+            # is alphabetical (BatchNorm bias first), which once made this
+            # guard compare a (64,) BN bias against the (7,7,C,64) kernel
+            # and skip the stem even for matching 3-channel inputs
+            old_kernel = enc["stem"]["Conv_0"]["kernel"]
             new_kernel = v["Conv_0"]["kernel"]
             if old_kernel.shape != new_kernel.shape:
+                stem_grafted = False
                 continue  # keep random stem for non-3-channel inputs
         enc[k] = v
     out_params[encoder_name] = enc
@@ -268,7 +272,13 @@ def graft_encoder(variables: dict, encoder_vars: dict, encoder_name: str = "enco
     bs = dict(variables.get("batch_stats", {}))
     if encoder_vars.get("batch_stats"):
         enc_bs = dict(bs.get(encoder_name, {}))
-        enc_bs.update(encoder_vars["batch_stats"])
+        new_bs = dict(encoder_vars["batch_stats"])
+        if not stem_grafted:
+            # a random-init stem must keep its init running stats — imagenet
+            # mean/var would mis-normalize the random conv's activations at
+            # eval (use_running_average)
+            new_bs.pop("stem", None)
+        enc_bs.update(new_bs)
         bs[encoder_name] = enc_bs
         out["batch_stats"] = bs
     return out
@@ -461,7 +471,8 @@ def convert_changeformer(sd: dict[str, np.ndarray]) -> dict:
         pe = f"Tenc_x2.patch_embed{s}"
         _convert_conv(params, enc + (f"patch_embed{s}", "proj"), sd, f"{pe}.proj")
         _convert_ln(params, enc + (f"patch_embed{s}", "norm"), sd, f"{pe}.norm")
-        for i in range(_CF_DEPTHS[s - 1]):
+        i = 0
+        while f"Tenc_x2.block{s}.{i}.norm1.weight" in sd:  # probe depth like the other converters
             tb = f"Tenc_x2.block{s}.{i}"
             mb = enc + (f"block{s}_{i}",)
             _convert_ln(params, mb + ("norm1",), sd, f"{tb}.norm1")
@@ -475,6 +486,7 @@ def convert_changeformer(sd: dict[str, np.ndarray]) -> dict:
             _convert_dense(params, mb + ("mlp", "fc1"), sd, f"{tb}.mlp.fc1")
             _convert_conv(params, mb + ("mlp", "dwconv"), sd, f"{tb}.mlp.dwconv.dwconv")
             _convert_dense(params, mb + ("mlp", "fc2"), sd, f"{tb}.mlp.fc2")
+            i += 1
         _convert_ln(params, enc + (f"norm{s}",), sd, f"Tenc_x2.norm{s}")
     dec = ("TDec_x2",)
     for s in range(1, 5):
@@ -834,7 +846,7 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
 
 def convert(path: str, model: str) -> dict:
     """CLI-facing conversion: torch checkpoint file -> flax variables."""
-    sd = load_torch_state_dict(path)
-    if model not in CONVERTERS:
+    if model not in CONVERTERS:  # validate before the multi-hundred-MB unpickle
         raise KeyError(f"no converter for {model!r}; have {sorted(CONVERTERS)}")
+    sd = load_torch_state_dict(path)
     return CONVERTERS[model](sd)

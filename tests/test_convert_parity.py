@@ -537,3 +537,40 @@ def test_smp_unet_converter_structural(torch):
         jnp.asarray(rs.randn(1, 64, 64, 6).astype(np.float32)), train=False,
     )
     assert np.isfinite(np.asarray(out)).all() and out.shape == (1, 64, 64, 3)
+
+
+def test_graft_encoder_matching_stem_and_bn_stats(torch):
+    """3-channel inputs: the stem conv IS grafted (the old leaves-order guard
+    compared a BN bias against the kernel and always skipped it); mismatched
+    stems keep their INIT running stats, not imagenet's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kurosiwo_tpu.convert import convert_torchvision_resnet, graft_encoder
+    from kurosiwo_tpu.models.unet import UNet
+
+    ref_mod = _load_ref_module("models/bit_cd.py", "ref_bit_cd_rn")
+    tm = ref_mod.resnet18(3, pretrained=False).eval()
+    variables = convert_torchvision_resnet({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+
+    model3 = UNet(num_classes=3, dtype=jnp.float32)
+    v0 = model3.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    v1 = graft_encoder(v0, variables)
+    np.testing.assert_array_equal(
+        np.asarray(v1["params"]["encoder"]["stem"]["Conv_0"]["kernel"]),
+        np.asarray(variables["params"]["stem"]["Conv_0"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v1["batch_stats"]["encoder"]["stem"]["BatchNorm_0"]["mean"]),
+        np.asarray(variables["batch_stats"]["stem"]["BatchNorm_0"]["mean"]),
+    )
+
+    model6 = UNet(num_classes=3, dtype=jnp.float32)
+    v6 = model6.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False)
+    g6 = graft_encoder(v6, variables)
+    # random stem keeps its INIT stats (zeros mean)
+    np.testing.assert_array_equal(
+        np.asarray(g6["batch_stats"]["encoder"]["stem"]["BatchNorm_0"]["mean"]),
+        np.asarray(v6["batch_stats"]["encoder"]["stem"]["BatchNorm_0"]["mean"]),
+    )
