@@ -22,7 +22,6 @@ from ..ops.nn import (
     ConvParams,
     conv_same,
     resize_bilinear,
-    resize_nearest,
     upsample2x,
     global_avg_pool,
 )
@@ -94,13 +93,7 @@ class _PhaseSkipConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        from ..ops.phase import (
-            fold_up2_kernel,
-            phase_batch_unview,
-            phase_batch_view,
-            phase_conv_kernel,
-            space_to_depth,
-        )
+        from ..ops.phase import fold_up2_kernel, space_to_depth
 
         up_c = x.shape[-1]
         kernel, _ = ConvParams(

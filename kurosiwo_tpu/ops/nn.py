@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .pallas_bn import BatchNorm as FusedBatchNorm
-from .phase import fold_up2_kernel, phase_batch_unview, phase_batch_view, phase_conv_kernel
+from .phase import fold_up2_kernel, phase_conv_kernel
 
 Dtype = Any
 
@@ -239,6 +239,7 @@ class ConvBNAct(nn.Module):
             and self.kernel == 3
             and self.stride == 1
             and self.dilation == 1
+            and self.padding is None  # conv3x3_bn hard-codes SAME/pad-1
             and not self.use_bias
             and x.shape[-1] % 128 == 0
             and self.features % 128 == 0

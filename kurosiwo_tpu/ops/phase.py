@@ -90,7 +90,7 @@ def phase_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     # K[d, q, e, f, c, a, b, o] = sum_{u,v} R[a,u,d,e] R[b,v,q,f] W[u,v,c,o]
     k = jnp.einsum("aude,bvqf,uvco->dqefcabo", r, r, w)
     kh, kw, _, _, cin, _, _, cout = k.shape
-    return k.transpose(0, 1, 2, 3, 4, 5, 6, 7).reshape(kh, kw, 4 * cin, 4 * cout)
+    return k.reshape(kh, kw, 4 * cin, 4 * cout)
 
 
 def phase_batch_view(z: jnp.ndarray) -> jnp.ndarray:
