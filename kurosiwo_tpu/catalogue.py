@@ -54,26 +54,64 @@ def _feature_table(con: sqlite3.Connection) -> str:
 
 
 def read_catalogue(gpkg_path: str | Path) -> list[dict]:
-    """Attribute rows of the catalogue feature table (geometry ignored)."""
+    """Attribute rows of the catalogue feature table (geometry EXCLUDED from
+    the SELECT — the polygon WKB blobs are hundreds of bytes per row and the
+    builder never reads them; ~700k rows make that real I/O)."""
     con = sqlite3.connect(str(gpkg_path))
     con.row_factory = sqlite3.Row
     try:
         table = _feature_table(con)
-        rows = [dict(r) for r in con.execute(f'SELECT * FROM "{table}"')]
+        try:
+            geom = {
+                r[0]
+                for r in con.execute(
+                    "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?", (table,)
+                )
+            }
+        except sqlite3.OperationalError:  # minimal fixtures without the gpkg metadata table
+            geom = set()
+        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")') if r[1] not in geom]
+        col_sql = ", ".join(f'"{c}"' for c in cols)
+        rows = [dict(r) for r in con.execute(f'SELECT {col_sql} FROM "{table}"')]
     finally:
         con.close()
     return rows
 
 
 def load_aoi_metadata(yaml_path: str | Path | None) -> dict:
-    """catalogue.yaml: Floods -> actid -> aois -> aoiid -> {cl_zone, cl_name}."""
+    """catalogue.yaml -> {act_id: {"aois": {aoi_id: {cl_zone, cl_name}}}}.
+
+    The real catalogue.yaml (reference catalogue/catalogue.py:33-50) uses a
+    custom `!join` tag (path assembly) and stores Floods as a LIST of
+    {act_id, aois: [{aoi_id: '01', cl_zone}]}; cl_name is joined from the
+    CL_ZONES table. Both are handled here; a pre-normalized mapping (tests)
+    passes through unchanged."""
     if yaml_path is None or not Path(yaml_path).exists():
         return {}
     import yaml
 
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    _Loader.add_constructor(
+        "!join", lambda loader, node: "".join(str(x) for x in loader.construct_sequence(node))
+    )
     with open(yaml_path) as f:
-        cfg = yaml.safe_load(f)
-    return cfg.get("Floods", cfg) if isinstance(cfg, dict) else {}
+        cfg = yaml.load(f, Loader=_Loader)
+    if not isinstance(cfg, dict):
+        return {}
+    floods = cfg.get("Floods", cfg)
+    if isinstance(floods, dict):  # already normalized (test fixtures)
+        return floods
+    zones = {z.get("cl_zone"): z.get("cl_name") for z in cfg.get("CL_ZONES", [])}
+    out: dict = {}
+    for f_ in floods or []:
+        aois = {}
+        for a in f_.get("aois", []) or []:
+            cz = a.get("cl_zone")
+            aois[str(a.get("aoi_id"))] = {"cl_zone": cz, "cl_name": zones.get(cz)}
+        out[str(f_.get("act_id"))] = {"aois": aois}
+    return out
 
 
 def _grid_hex(grid_id) -> str:
@@ -104,8 +142,14 @@ def filter_rows(
             continue
         if pflooded and not between(r.get("pflood"), pflooded):
             continue
-        if pwater and not between((r.get("pwater") or 0) + (r.get("pflood") or 0), pwater):
-            continue
+        if pwater:
+            pw, pf = r.get("pwater"), r.get("pflood")
+            # NULL propagates like pandas NaN: (pwater+pflood).between() is
+            # False for missing stats (reference catalogue.py:312) — coercing
+            # to 0 would KEEP rows the reference drops
+            total = None if (pw is None or pf is None) else pw + pf
+            if not between(total, pwater):
+                continue
         out.append(r)
     out.sort(key=lambda r: (r.get("actid") or 0, r.get("aoiid") or 0, str(r.get("grid_id")),
                             r.get("master") or 0, r.get("crank") or 0))
@@ -121,6 +165,12 @@ def build_grid_dict(rows: list[dict], aoi_meta: dict) -> dict:
             continue
         gh = _grid_hex(r["grid_id"])
         actid, aoiid = r.get("actid"), r.get("aoiid")
+        # non-AOI grids (aoiid NULL -> 999999) are excluded from the grid
+        # dict like the reference (catalogue.py:129-130 rewrites None to
+        # 999999, :479-480 skips those paths) — their tiles are not part of
+        # the distributed corpus
+        if aoiid is None or int(aoiid) == 999999:
+            continue
         meta = {}
         try:
             meta = aoi_meta[str(actid)]["aois"][f"{int(aoiid):02d}"]
@@ -152,9 +202,9 @@ def _parse_range(text):
     if text is None:
         return None
     v = json.loads(text)
-    assert isinstance(v, list) and len(v) == 2 and 0 <= v[0] <= 100 and 0 <= v[1] <= 100, (
-        "Range value error, use template e.g: [0,100]"
-    )
+    # ValueError, not assert: user CLI input must stay validated under -O
+    if not (isinstance(v, list) and len(v) == 2 and 0 <= v[0] <= 100 and 0 <= v[1] <= 100):
+        raise ValueError("Range value error, use template e.g: [0,100]")
     return v
 
 

@@ -66,10 +66,6 @@ class Record:
     positive: bool = True
     type: str | None = None  # diffusion-unsup splits each grid into pre1/pre2/flood
 
-    @property
-    def act_aoi_key(self):
-        return self.activation
-
 
 def build_records(
     grid_dict: dict,

@@ -75,7 +75,8 @@ def test_cli_info_and_write(fake_gpkg, tmp_path, capsys):
 
 
 def test_cli_bad_range(fake_gpkg):
-    with pytest.raises(AssertionError):
+    # ValueError, not assert: input validation must survive python -O
+    with pytest.raises(ValueError):
         catalogue.main(["--catalogue_path", str(fake_gpkg), "-pv", "[0,1000]"])
 
 
@@ -116,3 +117,32 @@ def test_snap_graphs_ship_the_reference_chains():
         "phase(i_VH ,q_VH)", "phase(i_VV ,q_VV)",
         "ampl(i_VH ,q_VH)", "ampl(i_VV ,q_VV)",
     }
+
+
+def test_real_reference_yaml_parses_when_present():
+    """The actual catalogue.yaml uses a custom !join tag and list-form Floods
+    with cl_name joined from CL_ZONES (reference catalogue.py:33-50)."""
+    from pathlib import Path
+
+    y = Path("/root/reference/catalogue/catalogue.yaml")
+    if not y.exists():
+        pytest.skip("reference yaml not mounted")
+    meta = catalogue.load_aoi_metadata(y)
+    assert len(meta) > 10
+    some = next(iter(meta.values()))["aois"]
+    aoi = next(iter(some.values()))
+    assert set(aoi) == {"cl_zone", "cl_name"} and aoi["cl_name"] is not None
+
+
+def test_grid_dict_excludes_non_aoi_grids(fake_gpkg, tmp_path):
+    """aoiid NULL/999999 grids are not in the distributed corpus; the
+    reference grid-dict builder skips them (catalogue.py:479-480)."""
+    import sqlite3 as sq
+    import uuid as uu
+
+    con = sq.connect(fake_gpkg)
+    con.execute("INSERT INTO grids VALUES (?,1,50.0,5.0,5.0,130,NULL,1,1)", (uu.UUID(int=5000).hex,))
+    con.commit(); con.close()
+    rows = catalogue.filter_rows(catalogue.read_catalogue(fake_gpkg))
+    gd = catalogue.build_grid_dict(rows, {})
+    assert uu.UUID(int=5000).hex not in gd
