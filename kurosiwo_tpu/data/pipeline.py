@@ -251,55 +251,60 @@ class Loader:
                 samples = self._pad(samples, self.local_batch_size)
             return self._collate(samples)
 
-        # double-buffered prefetch: decode batch k+1 while k trains.
-        # Decode errors are enqueued and re-raised in the consumer (a feeder
-        # that died silently would truncate the epoch); an abandoned iterator
-        # (early break, train-step exception, GC) sets `abandoned` so the
-        # feeder never blocks forever on a full queue.
-        q: queue.Queue = queue.Queue(maxsize=2)
-        stop = object()
-        abandoned = threading.Event()
+        yield from prefetch_epoch(batches, produce, self.workers)
 
-        def put_until_abandoned(item) -> None:
-            while not abandoned.is_set():
-                try:
-                    q.put(item, timeout=0.5)
-                    return
-                except queue.Full:
-                    pass
 
-        def feeder():
-            # one persistent pool for the epoch (a per-batch pool spawns and
-            # joins `workers` OS threads every batch on the hot path)
+def prefetch_epoch(batches, produce, workers: int):
+    """Double-buffered threaded prefetch shared by the GRD/SSL loaders:
+    decode batch k+1 while k trains. Decode errors are enqueued and
+    re-raised in the consumer (a feeder that died silently would truncate
+    the epoch); an abandoned iterator (early break, train-step exception,
+    GC) sets `abandoned` so the feeder never blocks forever on a full
+    queue; one persistent pool serves the whole epoch (a per-batch pool
+    spawns and joins `workers` OS threads every batch on the hot path).
+    `produce(pool, batch_ids) -> batch dict`."""
+    q: queue.Queue = queue.Queue(maxsize=2)
+    stop = object()
+    abandoned = threading.Event()
+
+    def put_until_abandoned(item) -> None:
+        while not abandoned.is_set():
             try:
-                with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                    for b in batches:
-                        if abandoned.is_set():
-                            return
-                        put_until_abandoned(produce(pool, b))
-            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-                put_until_abandoned(("__loader_error__", e))
-            finally:
-                put_until_abandoned(stop)
-
-        t = threading.Thread(target=feeder, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is stop:
-                    break
-                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__loader_error__":
-                    raise item[1]
-                yield item
-        finally:
-            abandoned.set()
-            try:  # unblock a feeder waiting on the full queue
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
+                q.put(item, timeout=0.5)
+                return
+            except queue.Full:
                 pass
-            t.join(timeout=10)
+
+    def feeder():
+        try:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for b in batches:
+                    if abandoned.is_set():
+                        return
+                    put_until_abandoned(produce(pool, b))
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            put_until_abandoned(("__loader_error__", e))
+        finally:
+            put_until_abandoned(stop)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__loader_error__":
+                raise item[1]
+            yield item
+    finally:
+        abandoned.set()
+        try:  # unblock a feeder waiting on the full queue
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=10)
 
 
 def prepare_loaders(config: dict, seed: int = 999):

@@ -6,9 +6,10 @@ Parity with SLCDataset (`/root/reference/dataset/Dataset.py:986-1228`):
     share `test_json`;
   * per sample: 4-channel SLC rasters for MS1 (post), SL1 (pre1), SL2
     (pre2); MK0_MLU / MK0_MNA masks via cv2;
-  * non-224 tiles are padded bottom/right to 224 with the image MEAN
-    (mask padded with 3 = invalid), replicating albumentations PadIfNeeded
-    with border_mode=CONSTANT;
+  * non-224 tiles are padded CENTERED to 224 with the INT-truncated flood
+    mean (mask padded with 3 = invalid), replicating albumentations
+    PadIfNeeded(border_mode=CONSTANT, value=int(flood.mean()),
+    Dataset.py:1177-1184);
   * "normalize" scaling with the 4-vector slc_mean / slc_std stats;
   * DEM: nodata -> NaN -> interpolate; slc_dem or slc_slope stats.
 
@@ -82,6 +83,15 @@ def load_slc_records(json_path: str, valid_acts: list, track: str) -> list[Recor
     return records
 
 
+def _maybe_uint8(img: np.ndarray, cfg: dict) -> np.ndarray:
+    """Reference uint8 quantization for SLC rasters (Dataset.py:1113-1134):
+    per-raster max-scale to [0, 255] and truncate to uint8."""
+    if not cfg.get("uint8"):
+        return img
+    m = float(np.nanmax(img)) or 1.0
+    return (img / m * 255.0).astype(np.uint8).astype(np.float32)
+
+
 class SLCLoader(Loader):
     """Loader variant reading SLC rasters; batch struct is identical to the
     GRD loader's (4-channel acquisitions instead of 2)."""
@@ -150,11 +160,11 @@ class SLCLoader(Loader):
             elif fname.startswith("MK0_MNA"):
                 valid = _imread(p).astype(np.int32)
             elif fname.startswith("MS1"):
-                flood = read_multiband(p)
+                flood = _maybe_uint8(read_multiband(p), cfg)
             elif fname.startswith("SL1"):
-                sec1 = read_multiband(p)
+                sec1 = _maybe_uint8(read_multiband(p), cfg)
             elif fname.startswith("SL2"):
-                sec2 = read_multiband(p)
+                sec2 = _maybe_uint8(read_multiband(p), cfg)
             elif fname.startswith("MK0_DEM"):
                 d = _imread(p).astype(np.float32)
                 # SLC nodata is a large sentinel, not NaN (Dataset.py:1140-1152)
@@ -174,9 +184,12 @@ class SLCLoader(Loader):
             mask = np.zeros(flood.shape[:2], np.int32)
         if valid is None:
             valid = np.ones(flood.shape[:2], np.int32)
-        # pad ragged tiles to 224 (image: mean, mask: 3)
+        # pad ragged tiles to 224 (image: INT-truncated flood mean — the
+        # reference passes value=int(flood.mean()) to PadIfNeeded,
+        # Dataset.py:1181, and reuses that one pad for sec1/sec2 too;
+        # mask: 3)
         if flood.shape[:2] != (224, 224):
-            mval = float(np.nan_to_num(flood).mean())
+            mval = float(int(np.nan_to_num(flood).mean()))
             flood, sec1, sec2 = (pad_to(a, 224, mval) for a in (flood, sec1, sec2))
             mask = pad_to(mask, 224, 3)
             valid = pad_to(valid, 224, 0)

@@ -17,9 +17,6 @@ from __future__ import annotations
 import os
 import pickle
 import random
-import threading
-import queue
-from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -111,6 +108,10 @@ class SSLLoader:
         import jax
 
         self.process_index, self.process_count = jax.process_index(), jax.process_count()
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by process count "
+                f"{self.process_count} (tail rows would silently never decode)")
         self.local_batch_size = self.batch_size // self.process_count
 
     def __len__(self):
@@ -132,8 +133,15 @@ class SSLLoader:
             for kv, kh in (("post_vv", "post_vh"), ("pre1_vv", "pre1_vh"), ("pre2_vv", "pre2_vh")):
                 parts.append(stack_channels(_imread(files[kv]), _imread(files[kh]), cfg["channels"], clamp))
         nch = parts[0].shape[-1]
-        mean = np.resize(SSL_MEAN, nch)
-        std = np.resize(SSL_STD, nch)
+        if nch != len(SSL_MEAN):
+            # the hardcoded corpus stats are (vv, vh) — np.resize would
+            # silently recycle the vv stats onto other channels (the
+            # reference's torchvision Normalize raises on the mismatch too)
+            raise ValueError(
+                f"SSL corpus stats are per-channel for {len(SSL_MEAN)} channels "
+                f"(vv, vh); got {nch} channels from {self.config.get('channels')}")
+        mean = np.asarray(SSL_MEAN, np.float32)
+        std = np.asarray(SSL_STD, np.float32)
         parts = [(p - mean) / std for p in parts]
         return np.concatenate(parts, axis=-1).astype(np.float32)  # (H, W, 6)
 
@@ -145,7 +153,7 @@ class SSLLoader:
         lo = self.process_index * self.local_batch_size
         hi = lo + self.local_batch_size
 
-        def produce(batch_ids):
+        def produce(pool, batch_ids):
             batch_ids = batch_ids[lo:hi]  # this process's rows (multi-host)
             out_size = int(self.config.get("image_size", 224))
 
@@ -154,26 +162,12 @@ class SSLLoader:
                 img = self._read_stack(self.samples[int(i)], int(i))
                 return random_resized_crop_flip(img, rng, size=out_size)
 
-            with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                imgs = list(pool.map(one, batch_ids))
+            imgs = list(pool.map(one, batch_ids))
             return {"image": np.stack(imgs)}
 
         self._epoch_tag = getattr(self, "_epoch_tag", 0) + 1
-        q: queue.Queue = queue.Queue(maxsize=2)
-        stop = object()
+        # shared hardened prefetch (error propagation, abandonment-safe,
+        # persistent per-epoch pool) — same machinery as the GRD loader
+        from .pipeline import prefetch_epoch
 
-        def feeder():
-            try:
-                for b in batches:
-                    q.put(produce(b))
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=feeder, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        yield from prefetch_epoch(batches, produce, self.workers)
