@@ -36,6 +36,18 @@ def initialize(config: dict | None = None) -> tuple[int, int]:
     coord = cfg.get("coordinator_address") or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = cfg.get("num_processes") or os.environ.get("JAX_NUM_PROCESSES")
     pid = cfg.get("process_id", os.environ.get("JAX_PROCESS_ID"))
+    partial = [coord, nproc, pid]
+    if any(v is not None and v != "" for v in partial) and not all(
+        v is not None and v != "" for v in partial
+    ):
+        # a half-configured launcher must fail loudly: silently falling back
+        # to single-process would start N independent runs that each consume
+        # only their row slice of every batch
+        raise RuntimeError(
+            "incomplete distributed settings: coordinator_address="
+            f"{coord!r}, num_processes={nproc!r}, process_id={pid!r} — set "
+            "all three (config keys or JAX_COORDINATOR_ADDRESS/"
+            "JAX_NUM_PROCESSES/JAX_PROCESS_ID) or none")
     if coord and nproc is not None and pid is not None and int(nproc) > 1:
         jax.distributed.initialize(
             coordinator_address=str(coord),

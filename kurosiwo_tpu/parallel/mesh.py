@@ -75,11 +75,13 @@ def shard_batch(plan: MeshPlan, batch: Any) -> Any:
     jax.Arrays via make_array_from_process_local_data — the SPMD step then
     runs on the global mesh with no further changes."""
     sh = batch_sharding(plan)
-    pc = jax.process_count()
-    if pc > 1:
+    if jax.process_count() > 1:
+        # global shape is inferred from the sharding + local block: deriving
+        # it as local*process_count is only valid when the DATA axis alone
+        # spans processes — with the model/context axis crossing hosts the
+        # batch is replicated across those processes and the product is wrong
         def put(x):
-            gshape = (x.shape[0] * pc,) + x.shape[1:]
-            return jax.make_array_from_process_local_data(sh, x, gshape)
+            return jax.make_array_from_process_local_data(sh, x)
 
         return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

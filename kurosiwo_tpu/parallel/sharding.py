@@ -48,12 +48,9 @@ def param_shardings(plan: MeshPlan, params: Any, min_size: int = 1 << 16) -> Any
 
 def state_shardings(plan: MeshPlan, state: Any, min_size: int = 1 << 16) -> Any:
     """Shard every array in a TrainState-like pytree with the same rules
-    (optimizer moments follow their parameters' layout)."""
-
-    def to_sharding(path, leaf):
-        return NamedSharding(plan.mesh, _spec_for(path, leaf, plan.num_model, min_size))
-
-    return jax.tree_util.tree_map_with_path(to_sharding, state)
+    (optimizer moments follow their parameters' layout) — one rule set,
+    shared with param_shardings."""
+    return param_shardings(plan, state, min_size)
 
 
 def apply_shardings(tree: Any, shardings: Any) -> Any:
