@@ -170,10 +170,17 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, residuals, do):
     q, k, v, out, lse = residuals
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b,h,n)
+    return flash_bwd(q, k, v, do, lse, delta, scale, block_q, block_k, interpret)
+
+
+def flash_bwd(q, k, v, do, lse, delta, scale, block_q, block_k, interpret=False):
+    """Flash backward with caller-supplied (lse, delta) — reused by ring
+    attention, where both are GLOBAL (merged over the whole ring) while each
+    call sees one rotating k/v block."""
     b, h, n, d = q.shape
     nk = k.shape[2]
     bh = b * h
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b,h,n)
     qf, kf, vf = (t.reshape(bh, -1, d) for t in (q, k, v))
     dof = do.reshape(bh, n, d)
     lsef = lse.reshape(bh, 1, n)

@@ -11,8 +11,11 @@ ICI links):
   * each device holds its (B, H, N/P, D) query shard and a rotating k/v
     block; P steps of blockwise attention with a running online-softmax
     (max, sum, acc) carry merge partial results exactly;
-  * per-step block attention runs through ops.attention, so on-device blocks
-    that are themselves long use the Pallas flash kernel;
+  * per-step block attention runs the Pallas flash kernel whenever the
+    local shards are >= 1024 tokens and 128-tiled (the (n, m) score matrix
+    never materializes in HBM — dense per-step scores at 50k tokens / 8
+    devices would be ~2.5 GB); shorter or unaligned shards use a dense
+    einsum block;
   * communication is P-1 neighbor permutes of the k/v block — bandwidth
     2*N*D per device total, independent of P, riding ICI not HBM.
 
@@ -34,11 +37,57 @@ def _rotate(x, axis_name, p):
     return jax.lax.ppermute(x, axis_name, perm)
 
 
-def _ring_impl(q, k, v, axis_name: str, scale: float):
+def _flash_blocks(n: int, m: int) -> tuple[int, int] | None:
+    """Flash block sizes for the per-ring-step attention, or None when the
+    local shards don't satisfy the kernel's 128-tiling (fall back to the
+    dense-block path). Flash only pays — and only avoids the O(n*m) score
+    materialization that matters — at long local sequences."""
+    from .attention import _FLASH_MIN_SEQ, _pick_block
+
+    if jax.default_backend() != "tpu":
+        return None
+    if n < _FLASH_MIN_SEQ or m < _FLASH_MIN_SEQ:
+        return None
+    bq, bk = _pick_block(n), _pick_block(m, want=1024)
+    # third element: interpret mode (False on hardware; tests pass True to
+    # drive the flash ring path on the CPU mesh)
+    return (bq, bk, False) if bq and bk else None
+
+
+def _ring_impl(q, k, v, axis_name: str, scale: float, blocks=None):
     """Forward online-softmax ring pass. Returns (out, lse) where lse is the
     per-query log-sum-exp (B, H, n, 1) — the flash-attention residual that
-    makes the O(n_local)-memory backward pass possible."""
+    makes the O(n_local)-memory backward pass possible.
+
+    When the local shards are long enough (see _flash_blocks), each ring
+    step runs the Pallas flash kernel — the (n, m) score matrix never
+    materializes in HBM (at 50k tokens over 8 devices a dense block scores
+    buffer would be ~2.5 GB per step) — and normalized partials are merged
+    via logaddexp. Short/unaligned shards keep the dense einsum block."""
     p = jax.lax.psum(1, axis_name)
+
+    if blocks is not None:
+        from .pallas_attention import _flash_fwd
+
+        bq, bk, interp = blocks
+
+        def step(i, carry):
+            acc, lse_run, kb, vb = carry
+            o_blk, lse_blk = _flash_fwd(q, kb, vb, scale, bq, bk, interp)
+            lse_blk = lse_blk[..., None]  # (B,H,n,1)
+            lse_new = jnp.logaddexp(lse_run, lse_blk)
+            acc = acc * jnp.exp(lse_run - lse_new) + o_blk.astype(jnp.float32) * jnp.exp(
+                lse_blk - lse_new
+            )
+            kb = _rotate(kb, axis_name, p)
+            vb = _rotate(vb, axis_name, p)
+            return acc, lse_new, kb, vb
+
+        acc0 = jnp.zeros(q.shape, jnp.float32) + q[..., :1].astype(jnp.float32) * 0.0
+        lse0 = q[..., :1].astype(jnp.float32) * 0.0 - 1e30
+        acc, lse, _, _ = jax.lax.fori_loop(0, p, step, (acc0, lse0, k, v))
+        return acc.astype(q.dtype), lse
+
     qf = q.astype(jnp.float32) * scale
 
     def block(qf, kb, vb):
@@ -76,17 +125,56 @@ def _ring_impl(q, k, v, axis_name: str, scale: float):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ring_p(q, k, v, axis_name: str, scale: float):
-    return _ring_impl(q, k, v, axis_name, scale)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ring_p(q, k, v, axis_name: str, scale: float, blocks=None):
+    return _ring_impl(q, k, v, axis_name, scale, blocks)[0]
 
 
-def _ring_p_fwd(q, k, v, axis_name, scale):
-    out, lse = _ring_impl(q, k, v, axis_name, scale)
+def _ring_p_fwd(q, k, v, axis_name, scale, blocks):
+    out, lse = _ring_impl(q, k, v, axis_name, scale, blocks)
     return out, (q, k, v, out, lse)
 
 
-def _ring_p_bwd(axis_name, scale, res, do):
+def _ring_p_bwd(axis_name, scale, blocks, res, do):
+    if blocks is not None:
+        return _ring_bwd_flash(axis_name, scale, blocks, res, do)
+    return _ring_bwd_dense(axis_name, scale, res, do)
+
+
+def _ring_bwd_flash(axis_name, scale, blocks, res, do):
+    """Flash-kernel ring backward: lse/delta are GLOBAL (merged over the
+    whole ring in the forward), so each rotating k/v block's gradients come
+    straight from the flash backward kernels with those residuals — the
+    (n, m) probability matrix never materializes."""
+    from .pallas_attention import flash_bwd
+
+    q, k, v, o, lse = res
+    bq, bk, interp = blocks
+    p = jax.lax.psum(1, axis_name)
+    dof = do.astype(jnp.float32)
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1)  # (B,H,n)
+    lse3 = lse[..., 0]
+
+    def step(i, carry):
+        dq, dkb, dvb, kb, vb = carry
+        dq_blk, dk_blk, dv_blk = flash_bwd(q, kb, vb, do, lse3, delta, scale, bq, bk, interp)
+        dq = dq + dq_blk.astype(jnp.float32)
+        dkb = dkb + dk_blk.astype(jnp.float32)
+        dvb = dvb + dv_blk.astype(jnp.float32)
+        dkb = _rotate(dkb, axis_name, p)
+        dvb = _rotate(dvb, axis_name, p)
+        kb = _rotate(kb, axis_name, p)
+        vb = _rotate(vb, axis_name, p)
+        return dq, dkb, dvb, kb, vb
+
+    dq0 = jnp.zeros(q.shape, jnp.float32) + q[..., :1].astype(jnp.float32) * 0.0
+    dk0 = jnp.zeros(k.shape, jnp.float32) + q[..., :1, :1].astype(jnp.float32) * 0.0
+    dv0 = jnp.zeros(v.shape, jnp.float32) + q[..., :1, :1].astype(jnp.float32) * 0.0
+    dq, dk, dv, _, _ = jax.lax.fori_loop(0, p, step, (dq0, dk0, dv0, k, v))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _ring_bwd_dense(axis_name, scale, res, do):
     """Second ring pass (flash-attention backward): probabilities are
     recomputed from the saved log-sum-exp, and each k/v block's gradient
     rotates along with the block so it arrives home after p steps. Residual
@@ -132,7 +220,8 @@ def ring_attention_p(q, k, v, axis_name: str, scale: float | None = None):
     Differentiable with O(n_local) residuals (custom two-pass ring vjp)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _ring_p(q, k, v, axis_name, scale)
+    blocks = _flash_blocks(q.shape[-2], k.shape[-2])
+    return _ring_p(q, k, v, axis_name, scale, blocks)
 
 
 def ring_attention(
@@ -153,5 +242,9 @@ def ring_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        # the flash-block pallas_call cannot annotate varying-mesh-axes on
+        # its outputs; correctness is covered by the dense-vs-flash parity
+        # test on the 8-device mesh
+        check_rep=False,
     )
     return fn(q, k, v)

@@ -97,3 +97,40 @@ def test_ring_bf16_grads_finite():
     for a in g:
         assert a.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+def test_ring_flash_blocks_match_dense():
+    """Flash-kernel ring steps (interpret mode on the CPU mesh) == the dense
+    ring path, forward and gradients — the long-shard path used on hardware."""
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from kurosiwo_tpu.ops.ring_attention import _ring_p
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("sp",))
+    b, h, npp, d = 1, 2, 128, 64  # 128 tokens per device x 8 = 1024 global
+    n = npp * len(devs)
+    rng = np.random.RandomState(3)
+    q, k, v = (jnp.asarray(rng.randn(b, h, n, d), jnp.float32) * 0.3 for _ in range(3))
+    scale = d**-0.5
+    spec = P(None, None, "sp", None)
+
+    def run(blocks):
+        fn = shard_map(
+            functools.partial(_ring_p, axis_name="sp", scale=scale, blocks=blocks),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_rep=False,
+        )
+        return fn
+
+    out_flash = run((128, 128, True))(q, k, v)
+    out_dense = run(None)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_dense), atol=2e-5)
+
+    g_flash = jax.grad(lambda *a: jnp.sum(run((128, 128, True))(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(lambda *a: jnp.sum(run(None)(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_flash, g_dense, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, err_msg=name)
