@@ -14,6 +14,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..data.pipeline import Loader
 from ..models.factory import initialize_segmentation_model
@@ -42,7 +43,7 @@ def train(configs: dict, model_configs: dict | None = None, seed: int = 999, max
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, state.batch_stats, new_opt), loss
 
     bsh, rep = batch_sharding(plan), replicated(plan)
@@ -60,5 +61,7 @@ def train(configs: dict, model_configs: dict | None = None, seed: int = 999, max
             if max_steps and steps >= max_steps:
                 break
         ckpt.save(f"diffusion_{epoch}", state)
+        if max_steps and steps >= max_steps:
+            break  # also end the EPOCH loop — a capped smoke run must stop
     ckpt.wait()
     return state

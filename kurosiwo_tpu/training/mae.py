@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..config import load_json5
 from ..data.ssl import SSLLoader
@@ -64,7 +65,7 @@ def make_mae_train_step(model, tx, accum: int, bf16_grads: bool = True):
         gdt = jnp.bfloat16 if bf16_grads else jnp.float32
         grads = jax.tree.map(lambda g: (g / accum).astype(gdt), grads)
         updates, new_opt = tx.update(grads, optim.inject_lr(state.opt_state, lr), state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(step=state.step + 1, params=new_params, batch_stats=state.batch_stats, opt_state=new_opt),
             loss_sum / accum,
@@ -129,6 +130,11 @@ def train(configs: dict, seed: int = 999, model_configs: dict | None = None, max
                 break
             t_data = time.time()
         print(f"MAE epoch {epoch}: {time.time() - t0:.1f}s (data {data_time:.1f}s)")
+        if max_steps is not None and total_steps >= max_steps:
+            # a capped smoke run must also end the EPOCH loop (the inner
+            # break alone would run one extra step + save per epoch)
+            ckpt.save(f"mae_{epoch}", state)
+            break
         ckpt.save(f"mae_{epoch}", state)
         # encoder-only save (reference's vit_{e}.pt whole-encoder save)
         enc_state = TrainState(

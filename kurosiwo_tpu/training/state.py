@@ -49,7 +49,6 @@ def create_train_state(
 
 
 def num_params(params) -> int:
-    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)) if params else 0
+    from ..utils.profiling import count_params
 
-
-import numpy as np  # noqa: E402  (used by num_params)
+    return count_params(params)

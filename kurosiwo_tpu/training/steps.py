@@ -23,6 +23,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..ops.metrics import MetricState, per_sample_confusion
 from ..ops.optim import inject_lr
@@ -214,7 +215,7 @@ def make_train_step(
         (loss, (aux_out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         opt_state = inject_lr(state.opt_state, lr)
         updates, new_opt = tx.update(grads, opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params = optax.apply_updates(state.params, updates)
         bsz = jnp.asarray(mask.shape[0], jnp.float32)
         if use_fused_tail:
             metric_state = metric_state.update_from_cm(aux_out, loss, bsz)
@@ -228,8 +229,6 @@ def make_train_step(
             step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )
         if with_grad_norm:
-            import optax
-
             if with_watch:
                 # per-layer gradient norms (wandb.watch telemetry; scalars,
                 # negligible device->host traffic)

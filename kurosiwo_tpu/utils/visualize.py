@@ -83,5 +83,4 @@ def to_wandb_images(triptych: dict[str, np.ndarray]):
         import wandb
     except ImportError:
         return None
-    labels = {k: v for k, v in CLASS_LABELS.items()}
     return {name: wandb.Image(img, caption=name) for name, img in triptych.items()}
