@@ -77,6 +77,11 @@ def _imread(path: str) -> np.ndarray:
             return native.decode_tile(path)
         except IOError:
             pass  # fall through to cv2 for exotic encodings
+    if cv is None:
+        raise ImportError(
+            f"cannot decode {path}: cv2 is unavailable and the native libtiff "
+            "decoder did not handle it (set KUROSIWO_NATIVE_DECODE=1 or "
+            "install opencv)")
     img = cv.imread(path, cv.IMREAD_ANYDEPTH)
     if img is None:
         raise IOError(f"failed to decode tile {path}")
@@ -177,13 +182,21 @@ def read_raw_sample(root_path: str, record, config: dict) -> RawSample:
     channels = config["channels"]
     clamp = config.get("clamp_input")
 
-    def pol(key):
+    # decode only the polarizations the channel stack consumes — with
+    # channels=["vh"] the three vv decodes were pure wasted I/O on the
+    # per-sample hot path
+    need_vv = any(c in ("vv", "vh/vv") for c in channels)
+    need_vh = any(c in ("vh", "vh/vv") for c in channels)
+
+    def pol(key, needed=True):
+        if not needed:
+            return None
         img = _imread(files[key])
         return _to_uint8(img) if config.get("uint8") else img
 
-    post = stack_channels(pol("post_vv"), pol("post_vh"), channels, clamp)
-    pre1 = stack_channels(pol("pre1_vv"), pol("pre1_vh"), channels, clamp)
-    pre2 = stack_channels(pol("pre2_vv"), pol("pre2_vh"), channels, clamp)
+    post = stack_channels(pol("post_vv", need_vv), pol("post_vh", need_vh), channels, clamp)
+    pre1 = stack_channels(pol("pre1_vv", need_vv), pol("pre1_vh", need_vh), channels, clamp)
+    pre2 = stack_channels(pol("pre2_vv", need_vv), pol("pre2_vh", need_vh), channels, clamp)
     mask = (
         _imread(files["mask"]).astype(np.int32)
         if "mask" in files
@@ -194,6 +207,10 @@ def read_raw_sample(root_path: str, record, config: dict) -> RawSample:
         if "valid" in files
         else np.ones(post.shape[:2], np.int32)
     )
+    if config.get("slope") and not config.get("dem"):
+        # the reference errors here too (Dataset.py:741-745 exit(2)); without
+        # this the requested slope channel would silently be absent
+        raise ValueError("config requests slope=true but dem=false — slope is derived from the DEM")
     dem = None
     if config.get("dem") and "dem" in files:
         dem = read_dem(files["dem"], config)

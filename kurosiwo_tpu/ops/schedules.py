@@ -10,16 +10,21 @@ schedules as functions of the epoch index and wrap them per-step.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
-import jax.numpy as jnp
+
+# NOTE: schedules are HOST-side (the lr is fed into the jitted step as a
+# scalar argument via optim.inject_lr) — plain math keeps them free. The
+# earlier jnp formulation dispatched a tiny op to the (remote, tunnel-bound)
+# default TPU backend and blocked on float() EVERY training iteration.
 
 
 def cosine_annealing(base_lr: float, t_max: int, eta_min: float = 0.0) -> Callable:
     """torch CosineAnnealingLR: lr(e) = eta_min + (base-eta_min)*(1+cos(pi*e/T))/2."""
 
     def schedule(epoch):
-        return eta_min + (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * epoch / t_max)) / 2
+        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * float(epoch) / t_max)) / 2
 
     return schedule
 
@@ -47,7 +52,8 @@ def step_decay(base_lr: float, epochs: int, gamma: float = 0.1) -> Callable:
 
 def constant(base_lr: float) -> Callable:
     def schedule(epoch):
-        return jnp.asarray(base_lr, jnp.float32) * jnp.ones_like(jnp.asarray(epoch, jnp.float32))
+        del epoch
+        return float(base_lr)
 
     return schedule
 
@@ -59,13 +65,13 @@ def mae_warmup_cosine(
     argument is a fractional epoch (epoch + iter/steps_per_epoch)."""
 
     def schedule(frac_epoch):
-        frac_epoch = jnp.asarray(frac_epoch, jnp.float32)
-        warm = base_lr * frac_epoch / max(warmup_epochs, 1e-12)
+        frac_epoch = float(frac_epoch)
+        if frac_epoch < warmup_epochs:
+            return base_lr * frac_epoch / max(warmup_epochs, 1e-12)
         denom = max(total_epochs - warmup_epochs, 1e-12)
-        cos = min_lr + (base_lr - min_lr) * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * (frac_epoch - warmup_epochs) / denom)
+        return min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0 + math.cos(math.pi * (frac_epoch - warmup_epochs) / denom)
         )
-        return jnp.where(frac_epoch < warmup_epochs, warm, cos)
 
     return schedule
 

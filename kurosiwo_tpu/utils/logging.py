@@ -51,9 +51,11 @@ class MetricLogger:
         print(msg)
 
     def _emit(self, payload: dict):
+        # independent sinks like the reference (segmentation_trainer.py:174):
+        # on_screen_prints keeps a local record even when wandb is active
         if self.wandb is not None:
             self.wandb.log(payload)
-        elif self.on_screen:
+        if self.on_screen:
             print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in payload.items()}))
 
     def log_train_iteration(
@@ -83,14 +85,14 @@ class MetricLogger:
         the step)."""
         if self.wandb is None:
             return
+        import jax
         import numpy as np
 
+        params = jax.device_get(params)  # ONE batched D2H transfer, not one per leaf
         payload = {}
 
         def leaf_name(path):
             return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
-
-        import jax
 
         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
             payload[f"parameters/{prefix}{leaf_name(path)}"] = self.wandb.Histogram(
