@@ -71,6 +71,13 @@ def bench_mae(args, n_dev: int):
     mcfg = {"image_size": 224, "patch_size": 16, "dim": 1024, "depth": 24, "heads": 16,
             "mlp_dim": 2048, "decoder_dim": 512, "decoder_depth": 8, "decoder_heads": 16,
             "masked_ratio": 0.75}
+    for kv in args.set:  # --set works for the MAE bench too (A/B overrides)
+        k, _, v = kv.partition("=")
+        try:
+            val = json.loads(v)
+        except json.JSONDecodeError:
+            val = v
+        (mcfg if k in mcfg else cfg)[k] = val
     model = build_mae(cfg, mcfg)
     tx = optim.create_optimizer(cfg, {"learning_rate": 1e-4}, task="mae")
     plan = create_mesh()
@@ -87,7 +94,8 @@ def bench_mae(args, n_dev: int):
     lr = jnp.asarray(1e-4, jnp.float32)
     for _ in range(args.warmup):
         state, loss = step(state, db, lr, rng)
-    _ = float(loss)
+    if args.warmup:
+        _ = float(loss)  # host fetch: block_until_ready under-blocks on the tunnel
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, loss = step(state, db, lr, rng)
