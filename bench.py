@@ -13,22 +13,128 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: the UNet train step is a ~2-4 min remote
-# compile on the axon tunnel (SNUNet ~15 min); one warm run amortizes it
-# for every later bench invocation
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")),
-)
-
 BASELINE_PATCHES_PER_SEC = 4000.0
+
+# ---------------------------------------------------------------------------
+# Tunnel-proofing (round-3 lesson: BENCH_r03 graded rc=1/parsed=null because
+# jax.devices() crashed on a transient UNAVAILABLE at t=0; the axon tunnel
+# stalls for 10-25 min stretches). Three layers of defense:
+#   1. the backend is probed in a SUBPROCESS with a timeout (an in-process
+#      jax.devices() on a stalled tunnel HANGS rather than raising — it
+#      cannot be retried once wedged), retried with backoff for up to
+#      KUROSIWO_BENCH_MAX_WAIT seconds;
+#   2. a watchdog thread guarantees ONE parseable JSON line even if the
+#      bench wedges mid-run (KUROSIWO_BENCH_DEADLINE seconds);
+#   3. any terminal failure emits a JSON error line (value 0) instead of a
+#      traceback, so the driver's parse never comes back null.
+# `_KUROSIWO_FAKE_OUTAGE=N` makes the first N probe attempts fail (exit 17
+# in the probe child) so tests can exercise the retry path without a tunnel.
+# ---------------------------------------------------------------------------
+
+_RESULT_PRINTED = threading.Event()
+
+
+def emit(payload: dict) -> None:
+    """Print the one driver-graded JSON line (exactly once per process)."""
+    if _RESULT_PRINTED.is_set():
+        return
+    _RESULT_PRINTED.set()
+    print(json.dumps(payload), flush=True)
+
+
+def emit_error(msg: str) -> None:
+    emit(
+        {
+            "metric": "224x224 SAR patches/sec/chip (train fwd+bwd, unet, bf16)",
+            "value": 0.0,
+            "unit": "patches/sec/chip",
+            "vs_baseline": 0.0,
+            "error": msg,
+        }
+    )
+
+
+def _start_watchdog() -> None:
+    deadline = float(os.environ.get("KUROSIWO_BENCH_DEADLINE", "2400"))
+
+    def _fire():
+        if not _RESULT_PRINTED.wait(timeout=deadline):
+            emit_error(f"bench wedged: no result within {deadline:.0f}s (axon tunnel stall?)")
+            sys.stdout.flush()
+            os._exit(0)
+
+    threading.Thread(target=_fire, daemon=True).start()
+
+
+_PROBE_CODE = """
+import os, sys
+n = int(os.environ.get("_KUROSIWO_FAKE_OUTAGE", "0"))
+if int(os.environ.get("_KUROSIWO_PROBE_ATTEMPT", "0")) <= n:
+    sys.exit(17)  # simulated outage (test hook)
+import jax, jax.numpy as jnp
+print(len(jax.devices()), flush=True)
+x = float(jnp.ones((8, 8)).sum())  # full host round-trip through the tunnel
+assert x == 64.0
+"""
+
+
+def wait_for_backend() -> None:
+    """Poll a trivial op in a bounded subprocess until the backend answers.
+
+    CLAUDE.md's own prescription ("poll a trivial op until the tunnel
+    answers") — now applied to bench.py itself. Raises RuntimeError with a
+    summary of attempts on final failure.
+    """
+    max_wait = float(os.environ.get("KUROSIWO_BENCH_MAX_WAIT", "1200"))
+    probe_timeout = float(os.environ.get("KUROSIWO_BENCH_PROBE_TIMEOUT", "120"))
+    retry_delay = float(os.environ.get("KUROSIWO_BENCH_RETRY_DELAY", "20"))
+    deadline = time.monotonic() + max_wait
+    attempt = 0
+    last_err = "never attempted"
+    while True:
+        attempt += 1
+        env = dict(os.environ)
+        env["_KUROSIWO_PROBE_ATTEMPT"] = str(attempt)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE_CODE],
+                env=env,
+                timeout=probe_timeout,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                return
+            last_err = f"probe rc={proc.returncode}: {proc.stderr.strip()[-300:]}"
+        except subprocess.TimeoutExpired:
+            last_err = f"probe hung >{probe_timeout:.0f}s (backend init stall)"
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"backend unavailable after {attempt} probes over {max_wait:.0f}s; last: {last_err}"
+            )
+        print(f"[bench] probe {attempt} failed ({last_err}); retrying...", file=sys.stderr, flush=True)
+        time.sleep(min(retry_delay, max(0.0, deadline - time.monotonic())))
+
+
+def _init_jax():
+    """Import jax + set the compilation cache, only after the probe passed."""
+    import jax
+
+    # persistent compilation cache: the UNet train step is a ~2-4 min remote
+    # compile on the axon tunnel (SNUNet ~15 min); one warm run amortizes it
+    # for every later bench invocation
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")),
+    )
+    return jax
 
 
 CD_MODELS = ("snunet", "bit-cd", "changeformer")
@@ -102,15 +208,13 @@ def bench_mae(args, n_dev: int):
     _ = float(loss)
     dt = time.perf_counter() - t0
     per_chip = args.steps * batch / dt / n_dev
-    print(
-        json.dumps(
-            {
-                "metric": f"224x224 SAR patches/sec/chip (MAE pretrain step, ViT-L, bf16, batch {batch})",
-                "value": round(per_chip, 2),
-                "unit": "patches/sec/chip",
-                "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
-            }
-        )
+    emit(
+        {
+            "metric": f"224x224 SAR patches/sec/chip (MAE pretrain step, ViT-L, bf16, batch {batch})",
+            "value": round(per_chip, 2),
+            "unit": "patches/sec/chip",
+            "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
+        }
     )
 
 
@@ -122,12 +226,29 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--remat", action="store_true", help="gradient checkpointing")
+    p.add_argument("--eval", action="store_true",
+                   help="benchmark the no-grad eval step instead of train fwd+bwd")
+    p.add_argument("--f32_eval", action="store_true",
+                   help="with --eval: run the f32-twin eval step (the engine's "
+                        "f32_eval: true config) instead of the bf16 policy")
     p.add_argument("--set", action="append", default=[], metavar="KEY=JSONVAL",
                    help="config override(s) for A/B experiments, e.g. --set snunet_save_bn_stats=false")
     p.add_argument("--fused_tail", default=None, choices=["phase", "plane", "off"],
                    help="loss/metrics tail override; default auto = phase-native "
                         "Pallas kernel for unet on one TPU chip (measured +2.4%%)")
     args = p.parse_args()
+
+    _start_watchdog()
+    try:
+        wait_for_backend()
+        _run_bench(args)
+    except Exception as e:  # noqa: BLE001 — terminal failures become a JSON line
+        emit_error(f"{type(e).__name__}: {e}")
+
+
+def _run_bench(args):
+    jax = _init_jax()
+    import jax.numpy as jnp
 
     from kurosiwo_tpu.models.factory import (
         initialize_cd_model,
@@ -168,10 +289,63 @@ def main():
     tx = optim.create_optimizer(cfg, mcfg, task)
     rng = jax.random.PRNGKey(0)
     state, _ = create_train_state(model, tx, rng, example_inputs_for_task(task, cfg, 2, 224))
+    bsh, rep = batch_sharding(plan), replicated(plan)
+
+    if args.eval:
+        # no-grad eval step, mirroring the engine's construction: default is
+        # the f32-twin (reference parity: autocast force-off at eval,
+        # segmentation_trainer.py:321) only when --f32_eval is passed; plain
+        # --eval measures the bf16-policy eval the engine runs with
+        # "f32_eval": false.
+        from kurosiwo_tpu.training.steps import make_eval_step
+
+        eval_model = model
+        if args.f32_eval and getattr(model, "dtype", None) == jnp.bfloat16:
+            import dataclasses
+
+            eval_model = dataclasses.replace(model, dtype=jnp.float32)
+        eval_criterion = create_loss(cfg, mode="val")
+        jit_eval = jax.jit(
+            make_eval_step(eval_model, eval_criterion, cfg, mcfg, task),
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep, rep),
+        )
+        rs = np.random.RandomState(0)
+        host_batch = {
+            "post": rs.randn(batch, 224, 224, 2).astype(np.float32),
+            "pre1": rs.randn(batch, 224, 224, 2).astype(np.float32),
+            "pre2": rs.randn(batch, 224, 224, 2).astype(np.float32),
+            "mask": rs.randint(0, 4, (batch, 224, 224)).astype(np.int32),
+            "clz": rs.randint(1, 4, (batch,)).astype(np.int32),
+            "activation": np.full((batch,), 130, np.int32),
+            "sample_weight": np.ones((batch,), np.float32),
+        }
+        device_batch = shard_batch(plan, host_batch)
+        metric = MetricState.create()
+        for _ in range(args.warmup):
+            metric, loss, _aux = jit_eval(state, device_batch, metric)
+        if args.warmup:
+            _ = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            metric, loss, _aux = jit_eval(state, device_batch, metric)
+        _ = float(loss)
+        dt = time.perf_counter() - t0
+        per_chip = args.steps * batch / dt / n_dev
+        dtype_tag = "f32-twin" if args.f32_eval else "bf16"
+        emit(
+            {
+                "metric": f"224x224 SAR patches/sec/chip (eval fwd, {args.model}, {dtype_tag}, batch {batch})",
+                "value": round(per_chip, 2),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
+            }
+        )
+        return
+
     criterion = create_loss(cfg, mode="train")
     step_fn = make_train_step(model, tx, criterion, cfg, mcfg, task)
 
-    bsh, rep = batch_sharding(plan), replicated(plan)
     jit_step = jax.jit(
         step_fn,
         in_shardings=(rep, bsh, rep, rep, rep),
@@ -207,15 +381,13 @@ def main():
 
     patches_per_sec = args.steps * batch / dt
     per_chip = patches_per_sec / n_dev
-    print(
-        json.dumps(
-            {
-                "metric": f"224x224 SAR patches/sec/chip (train fwd+bwd, {args.model}, bf16, batch {batch})",
-                "value": round(per_chip, 2),
-                "unit": "patches/sec/chip",
-                "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
-            }
-        )
+    emit(
+        {
+            "metric": f"224x224 SAR patches/sec/chip (train fwd+bwd, {args.model}, bf16, batch {batch})",
+            "value": round(per_chip, 2),
+            "unit": "patches/sec/chip",
+            "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
+        }
     )
 
 
