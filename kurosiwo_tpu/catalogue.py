@@ -109,7 +109,15 @@ def load_aoi_metadata(yaml_path: str | Path | None) -> dict:
         aois = {}
         for a in f_.get("aois", []) or []:
             cz = a.get("cl_zone")
-            aois[str(a.get("aoi_id"))] = {"cl_zone": cz, "cl_name": zones.get(cz)}
+            # normalize to the zero-padded form build_grid_dict looks up with
+            # (f"{int(aoiid):02d}"): YAML parses an unquoted 01 as int 1, and
+            # str(1) != "01" would silently default the grid's climate zone
+            aid = a.get("aoi_id")
+            try:
+                key = f"{int(aid):02d}"
+            except (TypeError, ValueError):
+                key = str(aid)
+            aois[key] = {"cl_zone": cz, "cl_name": zones.get(cz)}
         out[str(f_.get("act_id"))] = {"aois": aois}
     return out
 

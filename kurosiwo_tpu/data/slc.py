@@ -88,7 +88,11 @@ def _maybe_uint8(img: np.ndarray, cfg: dict) -> np.ndarray:
     per-raster max-scale to [0, 255] and truncate to uint8."""
     if not cfg.get("uint8"):
         return img
-    m = float(np.nanmax(img)) or 1.0
+    # guard against an all-NaN raster: nanmax would be NaN (truthy, so the
+    # `or 1.0` idiom missed it) and img/NaN propagates NaN through the cast
+    m = float(np.nanmax(img)) if np.isfinite(img).any() else 1.0
+    if not np.isfinite(m) or m <= 0.0:
+        m = 1.0
     return (img / m * 255.0).astype(np.uint8).astype(np.float32)
 
 

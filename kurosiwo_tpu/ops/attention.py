@@ -35,8 +35,9 @@ def _use_short_kernel() -> bool:
 
     if os.environ.get("KUROSIWO_SHORT_ATTN") == "0":
         return False
-    backend = jax.default_backend()
-    return backend == "tpu" or "axon" in backend
+    from .backend import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def _pick_block(n: int, want: int = 256) -> int | None:

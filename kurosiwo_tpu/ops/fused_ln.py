@@ -13,6 +13,7 @@ over the last axis, scale/bias f32 params, output cast to `dtype`.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -20,27 +21,30 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-@jax.custom_vjp
-def _ln(x, scale, bias, eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ln(x, scale, bias, eps, out_dtype):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
     rstd = jax.lax.rsqrt(var + eps)
     y = (xf - mu) * rstd * scale + bias
-    return y.astype(x.dtype)
+    # single rounding straight to the module dtype: routing through x.dtype
+    # first would insert a bf16 rounding flax.linen.LayerNorm doesn't have
+    # when a bf16 input meets an f32-configured norm
+    return y.astype(out_dtype)
 
 
-def _ln_fwd(x, scale, bias, eps):
+def _ln_fwd(x, scale, bias, eps, out_dtype):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
     rstd = jax.lax.rsqrt(var + eps)
-    y = ((xf - mu) * rstd * scale + bias).astype(x.dtype)
+    y = ((xf - mu) * rstd * scale + bias).astype(out_dtype)
     # residuals: input + per-row f32 stats (D-fold smaller than the tensor)
     return y, (x, mu, rstd, scale)
 
 
-def _ln_bwd(res, dy):
+def _ln_bwd(eps, out_dtype, res, dy):
     x, mu, rstd, scale = res
     d = x.shape[-1]
     dyf = dy.astype(jnp.float32)
@@ -52,7 +56,7 @@ def _ln_bwd(res, dy):
     axes = tuple(range(dy.ndim - 1))
     dscale = jnp.sum(dyf * xhat, axis=axes)
     dbias = jnp.sum(dyf, axis=axes)
-    return dx, dscale, dbias, None
+    return dx, dscale, dbias
 
 
 _ln.defvjp(_ln_fwd, _ln_bwd)
@@ -80,4 +84,4 @@ class LayerNorm(nn.Module):
             if self.use_bias
             else jnp.zeros((d,), jnp.float32)
         )
-        return _ln(x, scale, bias, self.epsilon).astype(self.dtype)
+        return _ln(x, scale, bias, self.epsilon, jnp.dtype(self.dtype))

@@ -166,8 +166,9 @@ def _use_pallas_conv() -> bool:
         return False
     if len(jax.devices()) != 1:
         return False
-    backend = jax.default_backend()
-    return backend == "tpu" or "axon" in backend
+    from .backend import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 class _BNParams(nn.Module):

@@ -351,8 +351,9 @@ def _use_pallas() -> bool:
 
     if os.environ.get("KUROSIWO_PALLAS_BN") != "1":
         return False
-    backend = jax.default_backend()
-    return backend == "tpu" or "axon" in backend
+    from .backend import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 class BatchNorm(nn.Module):  # noqa: N801 — named so flax auto-naming yields

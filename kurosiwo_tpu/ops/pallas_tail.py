@@ -96,10 +96,12 @@ def resolve_fused_tail(config: dict, task: str = "segmentation",
                     f"config requests fused_tail={flag!r} but the fused "
                     f"CE+cm tail cannot apply: {'; '.join(blockers)}")
         return flag
+    from .backend import is_tpu_backend
+
     if (
         is_unet_seg
         and not _fused_tail_blockers(config, model_config)
-        and jax.default_backend() == "tpu"
+        and is_tpu_backend()
     ):
         return "phase"
     return None

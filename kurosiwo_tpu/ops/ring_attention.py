@@ -43,8 +43,9 @@ def _flash_blocks(n: int, m: int) -> tuple[int, int] | None:
     dense-block path). Flash only pays — and only avoids the O(n*m) score
     materialization that matters — at long local sequences."""
     from .attention import _FLASH_MIN_SEQ, _pick_block
+    from .backend import is_tpu_backend
 
-    if jax.default_backend() != "tpu":
+    if not is_tpu_backend():
         return None
     if n < _FLASH_MIN_SEQ or m < _FLASH_MIN_SEQ:
         return None

@@ -124,6 +124,10 @@ def make_train_step(
     aux is the scalar loss, or (loss, global_grad_norm) when with_grad_norm —
     the TPU equivalent of the reference's wandb.watch gradient tracking
     (main.py:144), as a norm scalar instead of host-side histograms."""
+    # the per-layer watch tree rides on the grad-norm return shape, so watch
+    # implies grad_norm (otherwise with_watch=True alone would silently
+    # never return the norm tree)
+    with_grad_norm = with_grad_norm or with_watch
     assemble = {
         "segmentation": assemble_segmentation_input,
         "cd": assemble_cd_inputs,
@@ -157,7 +161,9 @@ def make_train_step(
     # disagree with the step's tail choice; an ineligible explicit flag
     # raises there instead of silently feeding phase logits to the XLA tail
     fused_flag = resolve_fused_tail(config, task, model_config)
-    on_tpu = jax.default_backend() == "tpu"
+    from ..ops.backend import is_tpu_backend
+
+    on_tpu = is_tpu_backend()
     use_fused_tail = bool(fused_flag)
     # "phase" variant: the model emits phase-space logits (factory wires
     # return_phase_logits for unet) and the kernel consumes them natively —
