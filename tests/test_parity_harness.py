@@ -14,6 +14,43 @@ REF = Path("/root/reference")
 pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted")
 
 
+def _load_ref(relpath: str, name: str):
+    spec = importlib.util.spec_from_file_location(name, REF / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _stub_timm():
+    """The reference changeformer imports timm (absent here) for
+    DropPath/to_2tuple/trunc_normal_ — same stub as test_convert_parity.py."""
+    import importlib.machinery
+    import types
+
+    import torch
+    import torch.nn as tnn
+
+    class _DropPath(tnn.Identity):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = _DropPath
+    timm_layers.to_2tuple = lambda t: t if isinstance(t, tuple) else (t, t)
+    timm_layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    for _m in (timm, timm_models, timm_layers):
+        _m.__spec__ = importlib.machinery.ModuleSpec(_m.__name__, loader=None)
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", timm_models)
+    sys.modules.setdefault("timm.models.layers", timm_layers)
+
+
 def test_parity_cli_smoke(tmp_path, capsys):
     import torch
 
@@ -196,6 +233,138 @@ def test_parity_roundtrip_snunet_oracle_f1(tmp_path):
 
     report = main([
         "--checkpoint", str(ckpt), "--model", "snunet", "--batch_size", "8",
+        "--override", _json.dumps(override),
+        "--expected-f1", str(oracle_f1), "--tolerance", "0.5",
+    ])
+    assert report["f1_within_tolerance"] is True, report
+    assert abs(report["delta_f1"]) < 0.5
+
+
+def test_parity_roundtrip_bit_cd_oracle_f1(tmp_path):
+    """bit-cd round trip (VERDICT r3 item 8): the CD trainer's state-dict
+    checkpoint format {epoch, model_state_dict, ...}
+    (change_detection_trainer.py:305-322) -> `python -m kurosiwo_tpu.parity`
+    -> F1 delta vs the torch oracle within the +-0.5-point tolerance."""
+    import json as _json
+
+    import torch
+
+    ref_mod = _load_ref("models/bit_cd.py", "ref_bit_rt")
+    tm = ref_mod.define_G(
+        {"net_G": "base_resnet18", "init_type": "normal", "init_gain": 0.02}, in_channels=2
+    )
+
+    override = {"synthetic_size": 8, "synthetic_patch_size": 112, "mixed_precision": False}
+
+    from kurosiwo_tpu.config import load_config
+    from kurosiwo_tpu.data.pipeline import prepare_loaders
+
+    cfg = load_config(
+        method="bit-cd",
+        overrides={"task": "cd", "batch_size": 8,
+                   "inputs": ["pre_event_1", "post_event"], **override},
+    )
+    cfg["mixed_precision"] = False
+    train_loader, _, test_loader = prepare_loaders(cfg, seed=999)
+
+    def assemble(batch):
+        to_nchw = lambda x: np.asarray(x, np.float32).transpose(0, 3, 1, 2)
+        return (to_nchw(batch["pre1"]), to_nchw(batch["post"]))
+
+    opt = torch.optim.SGD(tm.parameters(), lr=1e-2, momentum=0.9)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=3)
+    tm.train()
+    for _ in range(10):
+        for batch in train_loader:
+            x1, x2 = (torch.from_numpy(x) for x in assemble(batch))
+            mask = torch.from_numpy(np.asarray(batch["mask"])).long()
+            opt.zero_grad()
+            loss = ce(tm(x1, x2), mask)
+            loss.backward()
+            opt.step()
+    tm = tm.eval()
+    # the CD trainers save state dicts wrapped in a metadata dict
+    ckpt = tmp_path / "best_segmentation_cd.pt"
+    torch.save({"epoch": 9, "model_state_dict": tm.state_dict(), "loss": 0.0}, ckpt)
+
+    oracle_f1 = _torch_oracle_f1(tm, test_loader, assemble, two_input=True)
+
+    from kurosiwo_tpu.parity import main
+
+    report = main([
+        "--checkpoint", str(ckpt), "--model", "bit-cd", "--batch_size", "8",
+        "--override", _json.dumps(override),
+        "--expected-f1", str(oracle_f1), "--tolerance", "0.5",
+    ])
+    assert report["f1_within_tolerance"] is True, report
+    assert abs(report["delta_f1"]) < 0.5
+
+
+def test_parity_roundtrip_changeformer_oracle_f1(tmp_path):
+    """changeformer round trip (VERDICT r3 item 8): multi-scale head model
+    through the same CD state-dict format and the parity CLI."""
+    import json as _json
+
+    import torch
+
+    _stub_timm()
+    ref_mod = _load_ref("models/changeformer.py", "ref_cf_rt")
+    tm = ref_mod.ChangeFormerV6(
+        input_nc=2, output_nc=3, decoder_softmax=False, embed_dim=64
+    )
+
+    override = {
+        "synthetic_size": 8, "synthetic_patch_size": 64, "mixed_precision": False,
+        "embed_dim": 64, "decoder_softmax": False,
+    }
+
+    from kurosiwo_tpu.config import load_config
+    from kurosiwo_tpu.data.pipeline import prepare_loaders
+
+    cfg = load_config(
+        method="changeformer",
+        overrides={"task": "cd", "batch_size": 8,
+                   "inputs": ["pre_event_1", "post_event"], **override},
+    )
+    cfg["mixed_precision"] = False
+    train_loader, _, test_loader = prepare_loaders(cfg, seed=999)
+
+    def assemble(batch):
+        to_nchw = lambda x: np.asarray(x, np.float32).transpose(0, 3, 1, 2)
+        return (to_nchw(batch["pre1"]), to_nchw(batch["post"]))
+
+    class _LastHead(torch.nn.Module):
+        """Oracle eval surface: the trainer consumes output[-1] when
+        multi_scale_infer is off (change_detection_trainer.py:138-166)."""
+
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, x1, x2):
+            return self.inner(x1, x2)[-1]
+
+    opt = torch.optim.SGD(tm.parameters(), lr=1e-2, momentum=0.9)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=3)
+    tm.train()
+    for _ in range(10):
+        for batch in train_loader:
+            x1, x2 = (torch.from_numpy(x) for x in assemble(batch))
+            mask = torch.from_numpy(np.asarray(batch["mask"])).long()
+            opt.zero_grad()
+            loss = ce(tm(x1, x2)[-1], mask)
+            loss.backward()
+            opt.step()
+    tm = tm.eval()
+    ckpt = tmp_path / "best_segmentation_cf.pt"
+    torch.save({"epoch": 9, "model_state_dict": tm.state_dict(), "loss": 0.0}, ckpt)
+
+    oracle_f1 = _torch_oracle_f1(_LastHead(tm).eval(), test_loader, assemble, two_input=True)
+
+    from kurosiwo_tpu.parity import main
+
+    report = main([
+        "--checkpoint", str(ckpt), "--model", "changeformer", "--batch_size", "8",
         "--override", _json.dumps(override),
         "--expected-f1", str(oracle_f1), "--tolerance", "0.5",
     ])
