@@ -10,6 +10,13 @@ host-side answers with numbers on a synthetic on-disk corpus:
   * packed shards — data/shards.py memmap records (one read per SAMPLE,
                     not per tile)
 
+Warm rows measure decode + page-cache memcpy (all paths converge to
+memcpy-class there). Cold rows (--cold, default on) evict the corpus from
+the page cache with posix_fadvise(POSIX_FADV_DONTNEED) before every timed
+repeat, exposing the per-OPEN cost the packed shards exist to kill: the
+reference pays 7-9 open+read+decode round-trips per sample
+(/root/reference/dataset/Dataset.py:660-768); the shards pay exactly one.
+
 Usage: python scripts/bench_loader.py [--samples N] [--repeats K]
 Prints one JSON line per path: tiles/s (or samples/s) and MB/s.
 """
@@ -22,6 +29,7 @@ import os
 import sys
 import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -45,10 +53,28 @@ def build_corpus(root: str, n_samples: int, size: int = 224) -> list[list[str]]:
     return sample_paths
 
 
-def bench(label: str, fn, total_tiles: int, total_bytes: int, repeats: int):
-    fn()  # warm (page cache, pool spin-up) — all paths measured warm-cache
+def drop_page_cache(paths: list[str]) -> None:
+    """Evict `paths` from the page cache (ext4; no-op on tmpfs).
+
+    Dirty pages survive DONTNEED, so sync first. This is per-file fadvise,
+    not a global drop_caches — nothing outside the bench corpus is touched.
+    """
+    os.sync()
+    for p in paths:
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
+
+
+def bench(label: str, fn, total_tiles: int, total_bytes: int, repeats: int,
+          cold_paths: list[str] | None = None):
+    fn()  # warm-up (pool spin-up, lazy imports); cold mode re-evicts below
     times = []
     for _ in range(repeats):
+        if cold_paths is not None:
+            drop_page_cache(cold_paths)
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
@@ -80,14 +106,18 @@ def main():
 
         import cv2
 
+        cv2_fn = lambda: [cv2.imread(p, cv2.IMREAD_ANYDEPTH) for p in flat]
         bench("cv2 per-tile imread (reference path)",
-              lambda: [cv2.imread(p, cv2.IMREAD_ANYDEPTH) for p in flat],
-              len(flat), total_bytes, args.repeats)
+              cv2_fn, len(flat), total_bytes, args.repeats)
+        bench("cv2 per-tile imread (reference path, COLD cache)",
+              cv2_fn, len(flat), total_bytes, args.repeats, cold_paths=flat)
 
         if native.available():
+            native_fn = lambda: native.decode_batch(flat, tile_pixels=args.size * args.size)
             bench("native libtiff pool (tile_decoder.cpp)",
-                  lambda: native.decode_batch(flat, tile_pixels=args.size * args.size),
-                  len(flat), total_bytes, args.repeats)
+                  native_fn, len(flat), total_bytes, args.repeats)
+            bench("native libtiff pool (tile_decoder.cpp, COLD cache)",
+                  native_fn, len(flat), total_bytes, args.repeats, cold_paths=flat)
         else:
             print(json.dumps({"path": "native libtiff pool", "skipped": "toolchain unavailable"}))
 
@@ -113,6 +143,23 @@ def main():
         bench("packed shards (memmap, f16, per-sample)",
               lambda: [reader.read(k) for k in keys],
               len(keys) * 7, rec_bytes * len(keys), args.repeats)
+
+        # Cold row: fadvise(DONTNEED) cannot evict pages that are still
+        # mapped, so each repeat opens a FRESH reader (maps die with it at
+        # the end of the run, before the next eviction). The per-repeat
+        # manifest.json parse is included — it is one open per EPOCH in
+        # real use, vs the reference's 7-9 opens per SAMPLE.
+        del reader
+        shard_files = [str(p) for p in Path(shard_dir).iterdir()]
+
+        def shards_cold():
+            r = ShardReader(shard_dir)
+            out = [r.read(k) for k in keys]
+            del r, out
+
+        bench("packed shards (memmap, f16, per-sample, COLD cache)",
+              shards_cold, len(keys) * 7, rec_bytes * len(keys), args.repeats,
+              cold_paths=shard_files)
 
 
 if __name__ == "__main__":
