@@ -171,6 +171,25 @@ def _use_pallas_conv() -> bool:
     return is_tpu_backend()
 
 
+def _use_pallas_dw() -> bool:
+    """Pallas GEMM dW for 3x3 convs (ops/pallas_dw.py) — conv fwd and dx
+    stay XLA, only the weight gradient runs the kernel. OPT-IN via
+    KUROSIWO_PALLAS_DW=1 (TPU, single device) or =interpret (any backend,
+    CPU parity tests); in-step A/B decides whether it ever defaults on."""
+    import os
+
+    flag = os.environ.get("KUROSIWO_PALLAS_DW")
+    if flag == "interpret":
+        return True
+    if flag != "1":
+        return False
+    if len(jax.devices()) != 1:
+        return False
+    from .backend import is_tpu_backend
+
+    return is_tpu_backend()
+
+
 class _BNParams(nn.Module):
     """BatchNorm_0-compatible parameter/stat holder for fused conv+BN paths
     (same variable subtree as flax BatchNorm — checkpoints interchangeable).
@@ -260,6 +279,37 @@ class ConvBNAct(nn.Module):
             if self.act is not None:
                 z = self.act(z)
             return z
+        if (
+            train
+            and self.kernel == 3
+            and self.stride == 1
+            and self.dilation == 1
+            and self.padding is None
+            and not self.use_bias
+            and x.shape[-1] % 128 == 0
+            and self.features % 128 == 0
+            and min(x.shape[1], x.shape[2]) >= 6  # dW flat-tap window bound
+            and _use_pallas_dw()
+        ):
+            import os
+
+            from .pallas_dw import conv3x3_pdw, pick_batch_block
+
+            bb = pick_batch_block(
+                x.shape[0], x.shape[1], x.shape[2], x.shape[-1], self.features,
+                itemsize=jnp.dtype(self.dtype).itemsize,
+            )
+            if bb:
+                interp = os.environ.get("KUROSIWO_PALLAS_DW") == "interpret"
+                kernel, _ = ConvParams((3, 3, x.shape[-1], self.features), name="Conv_0")()
+                z = conv3x3_pdw(x.astype(self.dtype), kernel.astype(self.dtype), bb, interp)
+                z = FusedBatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name="BatchNorm_0",
+                )(z)
+                if self.act is not None:
+                    z = self.act(z)
+                return z
         pad = self.padding if self.padding is not None else self.dilation * (self.kernel // 2)
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]

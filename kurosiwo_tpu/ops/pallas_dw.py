@@ -123,6 +123,51 @@ def conv3x3_dw(
     return out.reshape(3, 3, cin, cout)
 
 
+def pick_batch_block(b: int, h: int, w: int, cin: int, cout: int,
+                     itemsize: int = 2, budget: int = 12 * 2 ** 20) -> int:
+    """Largest batch block whose x/dy tiles + f32 accumulator fit the VMEM
+    budget (16 MB minus pipeline headroom)."""
+    wp = _round_up(w + 2, 8)
+    acc = 9 * cin * cout * 4
+    for bb in (16, 8, 4, 2, 1):
+        if b % bb:
+            continue
+        tiles = bb * (h + 4) * wp * (cin + cout) * itemsize
+        if tiles + acc <= budget:
+            return bb
+    return 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3x3_pdw(x, w, batch_block=8, interpret=False):
+    """stride-1 SAME 3x3 conv whose forward and dx are XLA's own lowering
+    and ONLY dW is the Pallas GEMM kernel — the in-step experiment shape
+    (the standalone A/B in scripts/bench_dw.py cannot see the relayout tax
+    a pallas boundary puts on conv-custom-layout activations)."""
+    return _conv_same(x, w)
+
+
+def _conv_same(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _pdw_fwd(x, w, batch_block, interpret):
+    return _conv_same(x, w), (x, w)
+
+
+def _pdw_bwd(batch_block, interpret, res, dy):
+    x, w = res
+    _, vjp = jax.vjp(lambda xx: _conv_same(xx, w), x)
+    (dx,) = vjp(dy)
+    dw = conv3x3_dw(x, dy, batch_block=batch_block, interpret=interpret)
+    return dx, dw.astype(w.dtype)
+
+
+conv3x3_pdw.defvjp(_pdw_fwd, _pdw_bwd)
+
+
 def xla_dw(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     """XLA reference: the dW jax.grad produces for the same conv, with the
     train step's dtype convention — the conv runs wholly in compute dtype
