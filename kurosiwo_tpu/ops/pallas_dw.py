@@ -47,28 +47,24 @@ def _round_up(v: int, m: int) -> int:
 
 def _dw_kernel(x_ref, dy_ref, o_ref, *, taps, dy_start, k_rows, cin, cout):
     i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
     xf = x_ref[:].reshape(-1, cin)
     dyf = dy_ref[:].reshape(-1, cout)
     dys = dyf[dy_start : dy_start + k_rows, :]
 
-    accs = []
-    for off in taps:
+    # per-tap read-modify-write (no 9-way stack/concat — friendlier Mosaic);
+    # the o_ref block has a constant index map so it stays VMEM-resident
+    # across the sequential batch grid
+    for t, off in enumerate(taps):
         xs = xf[dy_start + off : dy_start + off + k_rows, :]
-        accs.append(
-            jax.lax.dot_general(
-                xs, dys, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        o_ref[t] = o_ref[t] + jax.lax.dot_general(
+            xs, dys, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-    acc = jnp.stack(accs)  # (9, cin, cout)
-
-    @pl.when(i == 0)
-    def _():
-        o_ref[:] = acc
-
-    @pl.when(i > 0)
-    def _():
-        o_ref[:] = o_ref[:] + acc
 
 
 def conv3x3_dw(
