@@ -49,6 +49,7 @@ def main():
 
     interp = args.interpret or not is_tpu_backend()
     shapes = [
+        ("layer2", (args.batch, 56, 56, 128), 128, (2, 4)),
         ("layer3", (args.batch, 28, 28, 256), 256, (4, 8)),
         ("layer4", (args.batch, 14, 14, 512), 512, (2, 4, 8)),
     ]
