@@ -12,9 +12,11 @@ run tests/test_losses.py tests/test_metrics.py tests/test_pipeline.py \
     tests/test_augment.py tests/test_catalogue.py tests/test_native_decoder.py \
     tests/test_pallas_attention.py tests/test_pallas_conv.py \
     tests/test_convert_parity.py tests/test_schedules_optim.py \
-    tests/test_inference.py tests/test_slc.py tests/test_fused_bn.py
+    tests/test_inference.py tests/test_slc.py tests/test_fused_bn.py \
+    tests/test_fused_ln.py
 run tests/test_models.py tests/test_parallel.py tests/test_ring_attention.py \
-    tests/test_phase.py \
+    tests/test_phase.py tests/test_pallas_tail.py tests/test_pallas_conv_bn.py \
+    tests/test_pallas_dw.py \
     tests/test_grad_norm.py
 run tests/test_models_extended.py tests/test_multihost.py tests/test_pallas_bn.py
 run tests/test_train_e2e.py   # ~9.5 min: 7 end-to-end trainings
