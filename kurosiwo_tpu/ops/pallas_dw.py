@@ -120,16 +120,17 @@ def conv3x3_dw(
 
 
 def pick_batch_block(b: int, h: int, w: int, cin: int, cout: int,
-                     itemsize: int = 2, budget: int = 12 * 2 ** 20) -> int:
-    """Largest batch block whose x/dy tiles + f32 accumulator fit the VMEM
-    budget (16 MB minus pipeline headroom)."""
+                     itemsize: int = 2, budget: int = 14 * 2 ** 20) -> int:
+    """Largest batch block that fits VMEM: the pipeline DOUBLE-buffers the
+    x/dy input blocks (prefetch of cell i+1 overlaps compute of cell i), so
+    the footprint is 2*(x+dy tiles) + the f32 accumulator block."""
     wp = _round_up(w + 2, 8)
     acc = 9 * cin * cout * 4
     for bb in (16, 8, 4, 2, 1):
         if b % bb:
             continue
         tiles = bb * (h + 4) * wp * (cin + cout) * itemsize
-        if tiles + acc <= budget:
+        if 2 * tiles + acc <= budget:
             return bb
     return 0
 
