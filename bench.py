@@ -39,20 +39,33 @@ BASELINE_PATCHES_PER_SEC = 4000.0
 # ---------------------------------------------------------------------------
 
 _RESULT_PRINTED = threading.Event()
+_EMIT_LOCK = threading.Lock()
+
+# updated from args in main() so error lines carry the leg actually being
+# run — a failed `--model changeformer` run must NOT emit a 0-valued row
+# labeled as the driver-graded unet train headline
+_METRIC_LABEL = "224x224 SAR patches/sec/chip (train fwd+bwd, unet, bf16)"
 
 
 def emit(payload: dict) -> None:
-    """Print the one driver-graded JSON line (exactly once per process)."""
-    if _RESULT_PRINTED.is_set():
-        return
-    _RESULT_PRINTED.set()
-    print(json.dumps(payload), flush=True)
+    """Print the one driver-graded JSON line (exactly once per process).
+
+    Atomic check-print-set under a lock: the watchdog's emit_error and the
+    main thread's emit can race at the deadline, and the watchdog os._exits
+    right after its emit — without the lock that window could end the
+    process with zero output lines (the null-parse failure this file
+    defends against) or with two."""
+    with _EMIT_LOCK:
+        if _RESULT_PRINTED.is_set():
+            return
+        print(json.dumps(payload), flush=True)
+        _RESULT_PRINTED.set()
 
 
 def emit_error(msg: str) -> None:
     emit(
         {
-            "metric": "224x224 SAR patches/sec/chip (train fwd+bwd, unet, bf16)",
+            "metric": _METRIC_LABEL,
             "value": 0.0,
             "unit": "patches/sec/chip",
             "vs_baseline": 0.0,
@@ -62,6 +75,10 @@ def emit_error(msg: str) -> None:
 
 
 def _start_watchdog() -> None:
+    """Start the wedge watchdog. Called AFTER the backend probe succeeds so
+    the deadline budgets the bench itself, not the (separately bounded)
+    tunnel-stall wait — a 20-min stall plus a cold SNUNet compile must not
+    get a healthy run killed."""
     deadline = float(os.environ.get("KUROSIWO_BENCH_DEADLINE", "2400"))
 
     def _fire():
@@ -238,9 +255,13 @@ def main():
                         "Pallas kernel for unet on one TPU chip (measured +2.4%%)")
     args = p.parse_args()
 
-    _start_watchdog()
+    global _METRIC_LABEL
+    kind = "eval fwd" if args.eval else "train fwd+bwd"
+    _METRIC_LABEL = f"224x224 SAR patches/sec/chip ({kind}, {args.model}, bf16)"
+
     try:
         wait_for_backend()
+        _start_watchdog()
         _run_bench(args)
     except Exception as e:  # noqa: BLE001 — terminal failures become a JSON line
         emit_error(f"{type(e).__name__}: {e}")
@@ -291,6 +312,19 @@ def _run_bench(args):
     state, _ = create_train_state(model, tx, rng, example_inputs_for_task(task, cfg, 2, 224))
     bsh, rep = batch_sharding(plan), replicated(plan)
 
+    rs = np.random.RandomState(0)
+    host_batch = {
+        "post": rs.randn(batch, 224, 224, 2).astype(np.float32),
+        "pre1": rs.randn(batch, 224, 224, 2).astype(np.float32),
+        "pre2": rs.randn(batch, 224, 224, 2).astype(np.float32),
+        "mask": rs.randint(0, 4, (batch, 224, 224)).astype(np.int32),
+        "clz": rs.randint(1, 4, (batch,)).astype(np.int32),
+        "activation": np.full((batch,), 130, np.int32),
+        "sample_weight": np.ones((batch,), np.float32),
+    }
+    device_batch = shard_batch(plan, host_batch)
+    metric = MetricState.create()
+
     if args.eval:
         # no-grad eval step, mirroring the engine's construction: default is
         # the f32-twin (reference parity: autocast force-off at eval,
@@ -310,18 +344,6 @@ def _run_bench(args):
             in_shardings=(rep, bsh, rep),
             out_shardings=(rep, rep, rep),
         )
-        rs = np.random.RandomState(0)
-        host_batch = {
-            "post": rs.randn(batch, 224, 224, 2).astype(np.float32),
-            "pre1": rs.randn(batch, 224, 224, 2).astype(np.float32),
-            "pre2": rs.randn(batch, 224, 224, 2).astype(np.float32),
-            "mask": rs.randint(0, 4, (batch, 224, 224)).astype(np.int32),
-            "clz": rs.randint(1, 4, (batch,)).astype(np.int32),
-            "activation": np.full((batch,), 130, np.int32),
-            "sample_weight": np.ones((batch,), np.float32),
-        }
-        device_batch = shard_batch(plan, host_batch)
-        metric = MetricState.create()
         for _ in range(args.warmup):
             metric, loss, _aux = jit_eval(state, device_batch, metric)
         if args.warmup:
@@ -353,18 +375,6 @@ def _run_bench(args):
         donate_argnums=(0,),
     )
 
-    rs = np.random.RandomState(0)
-    host_batch = {
-        "post": rs.randn(batch, 224, 224, 2).astype(np.float32),
-        "pre1": rs.randn(batch, 224, 224, 2).astype(np.float32),
-        "pre2": rs.randn(batch, 224, 224, 2).astype(np.float32),
-        "mask": rs.randint(0, 4, (batch, 224, 224)).astype(np.int32),
-        "clz": rs.randint(1, 4, (batch,)).astype(np.int32),
-        "activation": np.full((batch,), 130, np.int32),
-        "sample_weight": np.ones((batch,), np.float32),
-    }
-    device_batch = shard_batch(plan, host_batch)
-    metric = MetricState.create()
     lr = jnp.asarray(1e-3, jnp.float32)
 
     # warmup (compile); a host fetch forces real completion — on the axon

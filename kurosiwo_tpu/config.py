@@ -173,6 +173,12 @@ def load_config(
         # own derivations)
         config.update(overrides)
         config["num_channels"] = derive_num_channels(config)
+        # overrides must also win for keys the factories read from
+        # model_config (e.g. changeformer's embed_dim, vit patch_size) —
+        # including keys the method json doesn't declare but a factory
+        # reads via .get(). Nothing iterates model_config wholesale, so
+        # top-level-only override keys landing here are inert.
+        model_config.update(overrides)
 
     config["model_config"] = model_config
     return config

@@ -93,7 +93,10 @@ def _maybe_uint8(img: np.ndarray, cfg: dict) -> np.ndarray:
     m = float(np.nanmax(img)) if np.isfinite(img).any() else 1.0
     if not np.isfinite(m) or m <= 0.0:
         m = 1.0
-    return (img / m * 255.0).astype(np.uint8).astype(np.float32)
+    # clip before the cast: negative pixels (e.g. dB-scaled backscatter)
+    # would hit C-undefined float->uint8 conversion; the reference has the
+    # same UB latent — here the cast is made deterministic instead
+    return np.clip(img / m * 255.0, 0.0, 255.0).astype(np.uint8).astype(np.float32)
 
 
 class SLCLoader(Loader):

@@ -73,13 +73,7 @@ def run(args) -> dict:
     if args.override:
         overrides.update(json.loads(args.override))
     configs = load_config(method=args.model, config_root=args.config_root, overrides=overrides)
-    mcfg = configs["model_config"]
-    # overrides naming keys the method config owns (e.g. changeformer's
-    # embed_dim) must reach the factory, which reads them from model_config
-    if args.override:
-        for k, v in json.loads(args.override).items():
-            if k in mcfg:
-                mcfg[k] = v
+    mcfg = configs["model_config"]  # overrides already propagated by load_config
     # f32 eval twin like the reference's autocast-off eval
     configs["mixed_precision"] = False
 

@@ -59,8 +59,9 @@ def main():
         dy = jnp.asarray(rng.randn(*xshape[:3], cout).astype(np.float32), dtype=jnp.bfloat16)
         flops = 2 * xshape[0] * xshape[1] * xshape[2] * 9 * xshape[3] * cout
 
-        ms_xla = time_fn(jax.jit(xla_dw), x, dy, reps=args.reps)
-        ref = xla_dw(x, dy)
+        jref = jax.jit(xla_dw)
+        ms_xla = time_fn(jref, x, dy, reps=args.reps)
+        ref = jref(x, dy)  # reuse the compiled fn — an eager call would pay a second multi-minute remote compile per shape
         print(json.dumps({
             "case": f"dw/{name}", "leg": "xla", "ms": round(ms_xla, 3),
             "tf_s": round(flops / ms_xla / 1e9, 1),
