@@ -122,3 +122,25 @@ def test_dryrun_child_subprocess_is_time_bounded():
     )
     assert proc.returncode == 0, proc.stderr[-1000:]
     assert "TIMEOUT_BOUNDED" in proc.stdout
+
+
+def test_error_line_carries_the_actual_leg_label():
+    """A failed non-default leg must NOT emit a row labeled as the unet
+    train headline (it would overwrite the real graded number downstream)."""
+    env = dict(os.environ)
+    env.update(
+        _KUROSIWO_FAKE_OUTAGE="999999",
+        KUROSIWO_BENCH_RETRY_DELAY="0.05",
+        KUROSIWO_BENCH_MAX_WAIT="1",
+        KUROSIWO_BENCH_DEADLINE="60",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--model", "changeformer", "--eval",
+         "--steps", "1", "--warmup", "0"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "changeformer" in payload["metric"] and "eval" in payload["metric"]
+    assert "unet" not in payload["metric"]
+    assert payload["value"] == 0.0 and "error" in payload
