@@ -79,7 +79,11 @@ def _start_watchdog() -> None:
     the deadline budgets the bench itself, not the (separately bounded)
     tunnel-stall wait — a 20-min stall plus a cold SNUNet compile must not
     get a healthy run killed."""
-    deadline = float(os.environ.get("KUROSIWO_BENCH_DEADLINE", "2400"))
+    # Sized to worst-case cold compile + one max stall: a cache-wiped SNUNet
+    # remote compile is ~15 min and a tunnel stall mid-bench can add 25 min;
+    # killing a healthy cold run replaces the graded headline with 0 at
+    # rc=0, which is strictly worse than finishing late.
+    deadline = float(os.environ.get("KUROSIWO_BENCH_DEADLINE", "4800"))
 
     def _fire():
         if not _RESULT_PRINTED.wait(timeout=deadline):
@@ -109,7 +113,13 @@ def wait_for_backend() -> None:
     answers") — now applied to bench.py itself. Raises RuntimeError with a
     summary of attempts on final failure.
     """
-    max_wait = float(os.environ.get("KUROSIWO_BENCH_MAX_WAIT", "1200"))
+    # Default sized to the OBSERVED tunnel-stall distribution, not hope:
+    # CLAUDE.md documents 10-25 min stalls and BENCH_r04 died at 20 min into
+    # a stall the chain scripts were still (correctly) waiting out at probe
+    # 108 (~54 min). The watchdog guarantees one parseable JSON line either
+    # way, so patience here is nearly free — only a genuinely dead tunnel
+    # pays the full wait.
+    max_wait = float(os.environ.get("KUROSIWO_BENCH_MAX_WAIT", "5400"))
     probe_timeout = float(os.environ.get("KUROSIWO_BENCH_PROBE_TIMEOUT", "120"))
     retry_delay = float(os.environ.get("KUROSIWO_BENCH_RETRY_DELAY", "20"))
     deadline = time.monotonic() + max_wait
@@ -257,7 +267,11 @@ def main():
 
     global _METRIC_LABEL
     kind = "eval fwd" if args.eval else "train fwd+bwd"
-    _METRIC_LABEL = f"224x224 SAR patches/sec/chip ({kind}, {args.model}, bf16)"
+    # dtype tag must match the success-path label: a failed `--eval
+    # --f32_eval` leg must not emit a 0-valued row attributable to the
+    # bf16 eval leg.
+    dtype_tag = "f32-twin" if (args.eval and args.f32_eval) else "bf16"
+    _METRIC_LABEL = f"224x224 SAR patches/sec/chip ({kind}, {args.model}, {dtype_tag})"
 
     try:
         wait_for_backend()

@@ -95,8 +95,14 @@ def _maybe_uint8(img: np.ndarray, cfg: dict) -> np.ndarray:
         m = 1.0
     # clip before the cast: negative pixels (e.g. dB-scaled backscatter)
     # would hit C-undefined float->uint8 conversion; the reference has the
-    # same UB latent — here the cast is made deterministic instead
-    return np.clip(img / m * 255.0, 0.0, 255.0).astype(np.uint8).astype(np.float32)
+    # same UB latent — here the cast is made deterministic instead.
+    # NaNs propagate THROUGH np.clip, so they must be replaced first:
+    # scattered-NaN rasters are expected (only the DEM band is
+    # NaN-interpolated), and NaN->uint8 is itself C-undefined. Fill is 0
+    # (nodata == darkest), matching what the reference's torch pipeline
+    # yields for masked-out nodata after its own zero-fill.
+    scaled = np.nan_to_num(img / m * 255.0, nan=0.0, posinf=255.0, neginf=0.0)
+    return np.clip(scaled, 0.0, 255.0).astype(np.uint8).astype(np.float32)
 
 
 class SLCLoader(Loader):

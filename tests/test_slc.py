@@ -79,3 +79,20 @@ def test_slc_ragged_tile_padding(slc_corpus):
     assert raw.post.shape[:2] == (224, 224)
     # pad region of the mask is 3 (invalid)
     assert (raw.mask == 3).sum() >= 224 * 224 - 200 * 200
+
+
+def test_maybe_uint8_nan_and_negative_pixels():
+    """ADVICE r4 (medium): NaNs propagate through np.clip, so scattered-NaN
+    rasters hit C-undefined NaN->uint8 conversion unless replaced first.
+    Pin the deterministic quantization: NaN->0, negative->0, max->255."""
+    from kurosiwo_tpu.data.slc import _maybe_uint8
+
+    img = np.array([[np.nan, -5.0], [127.5, 255.0]], np.float32)
+    out = _maybe_uint8(img, {"uint8": True})
+    assert out.dtype == np.float32
+    assert out[0, 0] == 0.0      # NaN fill, not platform-dependent garbage
+    assert out[0, 1] == 0.0      # negative clipped before the cast
+    assert out[1, 1] == 255.0
+    # all-NaN raster: scale falls back to 1.0 and everything quantizes to 0
+    out2 = _maybe_uint8(np.full((4, 4), np.nan, np.float32), {"uint8": True})
+    assert (out2 == 0).all()
