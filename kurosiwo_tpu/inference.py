@@ -162,38 +162,117 @@ def vit_whole_scene(
     return encode(encoder_params, jnp.asarray(padded[None], dtype))
 
 
+def _embed_scene_tokens(p: dict, x: jnp.ndarray, patch_size: int, dtype, gh: int, gw: int):
+    """Patch embed (LN -> Dense -> LN) + resampled positions over the raw
+    param tree — deliberately inlined rather than reusing ViT.embed_image:
+    inference consumes a bare converted checkpoint (no Module bind), runs the
+    projection in f32 for the long token grid, and is pinned to the model by
+    the parity test (test_inference.py) — keep the two in sync if the embed
+    pipeline changes."""
+    from .models.vit import patchify
+
+    patches = patchify(x, patch_size)  # (1, N, p*p*C)
+
+    def ln(name, t):
+        s = p[name]
+        mu = jnp.mean(t, axis=-1, keepdims=True)
+        var = jnp.var(t, axis=-1, keepdims=True)
+        return (t - mu) / jnp.sqrt(var + 1e-6) * s["scale"] + s["bias"]
+
+    tokens = ln("patch_norm1", patches.astype(jnp.float32))
+    tokens = tokens @ p["patch_proj"]["kernel"] + p["patch_proj"]["bias"]
+    tokens = ln("patch_norm2", tokens).astype(dtype)
+    pos = interpolate_pos_embedding(jnp.asarray(p["pos_embedding"]), (gh, gw))
+    return tokens + pos.astype(dtype)
+
+
 @functools.lru_cache(maxsize=8)
 def _scene_encoder(patch_size, dim, depth, heads, mlp_dim, dim_head, dtype, gh, gw):
     """Jitted whole-scene encoder, cached per (architecture, grid) so repeat
-    scenes of the same size reuse one compilation.
-
-    The patch embed (LN -> Dense -> LN) is deliberately inlined over the raw
-    param tree rather than reusing ViT.embed_image: inference consumes a bare
-    converted checkpoint (no Module bind), runs the projection in f32 for the
-    4096-token grid, and is pinned to the model by the parity test
-    (test_inference.py) — keep the two in sync if the embed pipeline changes."""
-    from .models.vit import Transformer, patchify
+    scenes of the same size reuse one compilation."""
+    from .models.vit import Transformer
 
     transformer = Transformer(dim, depth, heads, dim_head, mlp_dim, dtype)
 
     @jax.jit
     def encode(p, x):
-        patches = patchify(x, patch_size)  # (1, N, p*p*C)
-
-        def ln(name, t):
-            s = p[name]
-            mu = jnp.mean(t, axis=-1, keepdims=True)
-            var = jnp.var(t, axis=-1, keepdims=True)
-            return (t - mu) / jnp.sqrt(var + 1e-6) * s["scale"] + s["bias"]
-
-        tokens = ln("patch_norm1", patches.astype(jnp.float32))
-        tokens = tokens @ p["patch_proj"]["kernel"] + p["patch_proj"]["bias"]
-        tokens = ln("patch_norm2", tokens).astype(dtype)
-        pos = interpolate_pos_embedding(jnp.asarray(p["pos_embedding"]), (gh, gw))
-        tokens = tokens + pos.astype(dtype)
+        tokens = _embed_scene_tokens(p, x, patch_size, dtype, gh, gw)
         return transformer.apply({"params": p["transformer"]}, tokens)
 
     return encode
+
+
+def vit_whole_scene_cp(
+    encoder_params: dict,
+    scene: np.ndarray,
+    mesh,
+    axis_name: str = "seq",
+    patch_size: int = 16,
+    dim: int = 1024,
+    depth: int = 24,
+    heads: int = 16,
+    mlp_dim: int = 2048,
+    dim_head: int = 64,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Context-parallel `vit_whole_scene`: the patch-token SEQUENCE is
+    sharded over `mesh`'s `axis_name` and every attention layer runs as a
+    ring pass (ops/ring_attention), so no device ever holds more than
+    N/P tokens of k/v — the scene size one chip can encode is multiplied
+    by the ring size (SURVEY §5.7: a 3584x3584 scene is 50k tokens).
+
+    Per-device shards >= 1024 tokens and 128-aligned engage the Pallas flash
+    kernels inside each ring step on TPU; smaller shards use the dense block
+    (always the case on the CPU test mesh). Everything outside attention is
+    token-pointwise and runs on the local shard unchanged, so results equal
+    the single-device path up to reduction order (asserted by
+    tests/test_inference.py::test_vit_whole_scene_cp_matches_single_device).
+
+    The token count gh*gw must divide by the axis size — grow the scene to
+    the next patch-row multiple if needed (the padding is image content via
+    reflect, same as the patch-grid padding `vit_whole_scene` already does).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .models.vit import Transformer
+
+    h, w, c = scene.shape
+    ph = -(-h // patch_size) * patch_size
+    pw = -(-w // patch_size) * patch_size
+    padded = np.pad(scene, ((0, ph - h), (0, pw - w), (0, 0)), mode="reflect")
+    gh, gw = ph // patch_size, pw // patch_size
+    n_shards = int(mesh.shape[axis_name])
+    if (gh * gw) % n_shards:
+        raise ValueError(
+            f"token grid {gh}x{gw}={gh * gw} does not divide by mesh axis "
+            f"{axis_name!r}={n_shards}; pad the scene so the patch grid is a "
+            f"multiple of the ring size"
+        )
+
+    transformer = Transformer(dim, depth, heads, dim_head, mlp_dim, dtype,
+                              ring_axis=axis_name)
+    tok_spec = P(None, axis_name, None)
+
+    ring = shard_map(
+        lambda pp, t: transformer.apply({"params": pp}, t),
+        mesh=mesh,
+        in_specs=(P(), tok_spec),
+        out_specs=tok_spec,
+        # the per-ring-step pallas_call cannot annotate varying mesh axes on
+        # its outputs (same check_rep situation as ops/ring_attention)
+        check_rep=False,
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def encode(p, x):
+        tokens = _embed_scene_tokens(p, x, patch_size, dtype, gh, gw)
+        tokens = jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(mesh, tok_spec)
+        )
+        return ring(p["transformer"], tokens)
+
+    return encode(encoder_params, jnp.asarray(padded[None], dtype))
 
 
 def load_variables(checkpoint: str, model, config: dict, example_shape) -> dict:

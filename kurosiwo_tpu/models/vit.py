@@ -44,6 +44,13 @@ class SelfAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dtype: Any = jnp.float32
+    # context parallelism: when set, the module is running INSIDE a shard_map
+    # with the token axis sharded over this mesh axis — attention becomes a
+    # ring pass (ops/ring_attention.ring_attention_p) so each device only
+    # ever holds its local q/k/v shard. Everything else in the block is
+    # token-pointwise and needs no change. Param tree is unchanged, so
+    # converted checkpoints load identically.
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +59,16 @@ class SelfAttention(nn.Module):
         x = FusedLayerNorm(dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = attention_packed(q, k, v, self.heads, scale=self.dim_head**-0.5)
+        if self.ring_axis is not None:
+            from ..ops.ring_attention import ring_attention_p
+
+            q, k, v = (
+                rearrange(t, "b n (h d) -> b h n d", h=self.heads) for t in (q, k, v)
+            )
+            out = ring_attention_p(q, k, v, self.ring_axis, scale=self.dim_head**-0.5)
+            out = rearrange(out, "b h n d -> b n (h d)")
+        else:
+            out = attention_packed(q, k, v, self.heads, scale=self.dim_head**-0.5)
         if project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         return out
@@ -65,11 +81,13 @@ class Transformer(nn.Module):
     dim_head: int
     mlp_dim: int
     dtype: Any = jnp.float32
+    ring_axis: str | None = None  # see SelfAttention.ring_axis
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
-            x = SelfAttention(self.dim, self.heads, self.dim_head, self.dtype, name=f"attn_{i}")(x) + x
+            x = SelfAttention(self.dim, self.heads, self.dim_head, self.dtype,
+                              ring_axis=self.ring_axis, name=f"attn_{i}")(x) + x
             x = FeedForward(self.dim, self.mlp_dim, self.dtype, name=f"ff_{i}")(x) + x
         return FusedLayerNorm(dtype=self.dtype, name="norm")(x)
 

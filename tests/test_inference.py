@@ -116,3 +116,67 @@ def test_load_variables_missing_checkpoint_raises(base_config):
     model = initialize_segmentation_model(cfg, mcfg)
     with pytest.raises(FileNotFoundError):
         load_variables("/nonexistent/ckpt_typo", model, cfg, (1, 64, 64, 2))
+
+
+def _mesh8(axis="seq"):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "conftest provides the 8-device CPU mesh"
+    return Mesh(devs, (axis,))
+
+
+def test_vit_whole_scene_cp_matches_single_device():
+    """VERDICT r4 item 7: the CP path composes with the real inference entry
+    point — vit_whole_scene_cp over the 8-device mesh equals the
+    single-device vit_whole_scene on the same scene/params."""
+    import jax
+    import jax.numpy as jnp
+    from kurosiwo_tpu.inference import vit_whole_scene, vit_whole_scene_cp
+    from kurosiwo_tpu.models.vit import ViT
+
+    dims = dict(patch_size=16, dim=32, depth=2, heads=2, mlp_dim=64, dim_head=16)
+    model = ViT(image_size=64, channels=2, pool="cls", dtype=jnp.float32,
+                **{k: v for k, v in dims.items() if k != "dim_head"}, dim_head=16)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 128, 256, 2), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 2), jnp.float32))
+
+    scene = np.asarray(x[0])  # 8x16 = 128 tokens, divisible by 8
+    ref = vit_whole_scene(v["params"], scene, dtype=jnp.float32, **dims)
+    got = vit_whole_scene_cp(v["params"], scene, _mesh8(), axis_name="seq",
+                             dtype=jnp.float32, **dims)
+    assert got.shape == ref.shape == (1, 128, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_vit_whole_scene_cp_16k_tokens():
+    """A 2048x2048 scene = 128x128 grid = 16,384 tokens — beyond a single
+    device's comfortable attention footprint — runs through the CP entry
+    point sharded 2048-tokens-per-device over the 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from kurosiwo_tpu.inference import vit_whole_scene_cp
+    from kurosiwo_tpu.models.vit import ViT
+
+    dims = dict(patch_size=16, dim=32, depth=1, heads=2, mlp_dim=64, dim_head=16)
+    model = ViT(image_size=64, channels=2, pool="cls", dtype=jnp.float32,
+                depth=1, dim=32, heads=2, mlp_dim=64, dim_head=16, patch_size=16)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 2), jnp.float32))
+
+    scene = np.random.RandomState(1).randn(2048, 2048, 2).astype(np.float32)
+    feats = vit_whole_scene_cp(v["params"], scene, _mesh8(), axis_name="seq",
+                               dtype=jnp.float32, **dims)
+    assert feats.shape == (1, 128 * 128, 32)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_vit_whole_scene_cp_rejects_indivisible_grid():
+    import jax.numpy as jnp
+    import pytest
+    from kurosiwo_tpu.inference import vit_whole_scene_cp
+
+    with pytest.raises(ValueError, match="divide"):
+        vit_whole_scene_cp({}, np.zeros((48, 48, 2), np.float32), _mesh8(),
+                           patch_size=16, dim=32, depth=1, heads=2, mlp_dim=64,
+                           dim_head=16, dtype=jnp.float32)
