@@ -120,17 +120,22 @@ def conv3x3_dw(
 
 
 def pick_batch_block(b: int, h: int, w: int, cin: int, cout: int,
-                     itemsize: int = 2, budget: int = 14 * 2 ** 20) -> int:
-    """Largest batch block that fits VMEM: the pipeline DOUBLE-buffers the
-    x/dy input blocks (prefetch of cell i+1 overlaps compute of cell i), so
-    the footprint is 2*(x+dy tiles) + the f32 accumulator block."""
+                     itemsize: int = 2, budget: int = 15 * 2 ** 20) -> int:
+    """Largest batch block whose kernel fits scoped VMEM (16 MB on v5e).
+
+    Footprint model calibrated against measured compiles (r5 hardware A/B):
+    the naive 2*(x+dy tiles)+acc model under-counts — Mosaic's actual scoped
+    allocation at (14,14,256,256) bb=16 was 16.02 MB vs 11.8 MB modeled
+    (OOM by 20 KB), consistent with an extra in-flight copy of the input
+    tiles beyond double-buffering; 3*(x+dy)+acc matches that point and stays
+    conservative for the shapes that did compile (layer4 bb<=4)."""
     wp = _round_up(w + 2, 8)
     acc = 9 * cin * cout * 4
     for bb in (16, 8, 4, 2, 1):
         if b % bb:
             continue
         tiles = bb * (h + 4) * wp * (cin + cout) * itemsize
-        if 2 * tiles + acc <= budget:
+        if 3 * tiles + acc <= budget:
             return bb
     return 0
 

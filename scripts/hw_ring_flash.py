@@ -119,7 +119,15 @@ def run_case(dtype, args, interp):
     dk_d = jnp.stack([dk_d[:, :, i * n_local : (i + 1) * n_local] for i in range(args.blocks)])
     dv_d = jnp.stack([dv_d[:, :, i * n_local : (i + 1) * n_local] for i in range(args.blocks)])
 
-    tol = {"float32": (5e-4, 2e-3), "bfloat16": (2e-2, 5e-2)}[jnp.dtype(dtype).name]
+    # f32 tolerances differ by backend: TPU f32 einsums run bf16 multiplies
+    # at DEFAULT precision (both the dense reference and the kernel), so the
+    # summation-order spread is bf16-product-scale — measured 5.7e-4 on the
+    # chip vs the CPU-true-f32 ~1e-5. The CPU interpret run keeps the tight
+    # band; hardware gets a band set at ~3x the measured value.
+    if interp:
+        tol = {"float32": (5e-4, 2e-3), "bfloat16": (2e-2, 5e-2)}[jnp.dtype(dtype).name]
+    else:
+        tol = {"float32": (2e-3, 5e-3), "bfloat16": (2e-2, 5e-2)}[jnp.dtype(dtype).name]
     diffs = {}
     for name, a, bb, t in (
         ("out", o_f, o_d, tol[0]),
