@@ -214,10 +214,35 @@ class ResidualBlock(nn.Module):
 
 
 class DecoderTransformerV3(nn.Module):
+    """tail_chunks: the post-fuse_bn upsampling tail (convd2x -> dense_2x ->
+    convd1x -> dense_1x -> change_probability) produces three bf16
+    [B,224,224,256]-class temps (3.06 GB each at b128) whose saved residuals
+    OOM the 16 GB chip in training (measured 16.83G vs 15.75G,
+    docs/performance.md r5). The tail has no BatchNorm and no
+    train-dependent op, so it is exactly per-sample: we scan it over
+    `tail_chunks` batch chunks with per-chunk remat, capping live tail
+    memory at one chunk plus the 56^2 input. 0 = auto (8 chunks when
+    training with batch >= 64 and divisible by 8). A single nn.remat over
+    the whole tail is WORSE (19.37G): one backward scope holds all three
+    224^2 recomputes live at once. Param names are unchanged (function-level
+    lifted scan with variable_broadcast), so converted checkpoints load
+    identically either way."""
+
     embedding_dim: int = 256
     num_classes: int = 3
     decoder_softmax: bool = True
+    tail_chunks: int = 0
     dtype: Any = jnp.float32
+
+    def _tail(self, x):
+        ed = self.embedding_dim
+        x = TorchConvTranspose(ed, 4, 2, 1, dtype=self.dtype, name="convd2x")(x)
+        x = ResidualBlock(self.dtype, name="dense_2x")(x)
+        x = TorchConvTranspose(ed, 4, 2, 1, dtype=self.dtype, name="convd1x")(x)
+        x = ResidualBlock(self.dtype, name="dense_1x")(x)
+        return nn.Conv(
+            self.num_classes, (3, 3), padding=1, dtype=self.dtype, name="change_probability"
+        )(x)
 
     @nn.compact
     def __call__(self, f1, f2, train: bool = False):
@@ -246,11 +271,29 @@ class DecoderTransformerV3(nn.Module):
         fused = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="fuse_bn"
         )(fused)
-        x = TorchConvTranspose(ed, 4, 2, 1, dtype=self.dtype, name="convd2x")(fused)
-        x = ResidualBlock(self.dtype, name="dense_2x")(x)
-        x = TorchConvTranspose(ed, 4, 2, 1, dtype=self.dtype, name="convd1x")(x)
-        x = ResidualBlock(self.dtype, name="dense_1x")(x)
-        cp = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype, name="change_probability")(x)
+        b = fused.shape[0]
+        nc = self.tail_chunks
+        if nc == 0:
+            nc = 8 if (train and b >= 64 and b % 8 == 0) else 1
+        if nc > 1 and b % nc != 0:
+            nc = 1
+        if nc > 1:
+            xs = fused.reshape(nc, b // nc, *fused.shape[1:])
+
+            def tail_step(mdl, carry, xc):
+                return carry, DecoderTransformerV3._tail(mdl, xc)
+
+            scanned = nn.scan(
+                nn.remat(tail_step, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            _, cp = scanned(self, (), xs)
+            cp = cp.reshape(b, *cp.shape[2:])
+        else:
+            cp = self._tail(fused)
         outputs.append(cp)
         outputs = [o.astype(jnp.float32) for o in outputs]
         if self.decoder_softmax:
@@ -262,6 +305,7 @@ class ChangeFormerV6(nn.Module):
     embed_dim: int = 256
     num_classes: int = 3
     decoder_softmax: bool = True
+    tail_chunks: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -269,5 +313,6 @@ class ChangeFormerV6(nn.Module):
         enc = EncoderTransformerV3(dtype=self.dtype, name="Tenc_x2")
         f1, f2 = enc(x1, train), enc(x2, train)
         return DecoderTransformerV3(
-            self.embed_dim, self.num_classes, self.decoder_softmax, self.dtype, name="TDec_x2"
+            self.embed_dim, self.num_classes, self.decoder_softmax,
+            self.tail_chunks, self.dtype, name="TDec_x2"
         )(f1, f2, train)

@@ -138,6 +138,7 @@ def initialize_cd_model(config: dict, model_config: dict, phase: str = "train"):
             embed_dim=model_config.get("embed_dim", 256),
             num_classes=nc,
             decoder_softmax=model_config.get("decoder_softmax", True),
+            tail_chunks=model_config.get("tail_chunks", 0),
             dtype=dt,
         )
     if method == "adhr-cdnet":

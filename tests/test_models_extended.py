@@ -145,3 +145,30 @@ def test_finetune_factory_path(base_config):
     x = jnp.zeros((1, 64, 64, 6))
     out = _run(model, x)
     assert out.shape == (1, 64, 64, NC)
+
+
+def test_changeformer_chunked_tail_exact(base_config):
+    """The batch-chunked scan-of-remat decoder tail (the b128 HBM fit,
+    docs/performance.md r5) is exactly per-sample: same param tree, same
+    outputs, same grads as the unchunked path."""
+    cfg = dict(base_config, task="cd", method="changeformer", num_channels=2)
+    m1 = initialize_cd_model(cfg, {"embed_dim": 64, "tail_chunks": 1})
+    m8 = initialize_cd_model(cfg, {"embed_dim": 64, "tail_chunks": 8})
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(1).randn(8, 32, 32, 2), np.float32)
+    v1 = m1.init({"params": rng, "dropout": rng}, x, x, train=False)
+    v8 = m8.init({"params": rng, "dropout": rng}, x, x, train=False)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v8)
+    for a, b in zip(jax.tree_util.tree_leaves(v1), jax.tree_util.tree_leaves(v8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def loss(variables, model):
+        outs = model.apply(variables, x, x, train=False)
+        return sum(jnp.sum(o * o) for o in outs)
+
+    for ma, mb in ((m1, m8),):
+        la, ga = jax.value_and_grad(loss)(v1, ma)
+        lb, gb = jax.value_and_grad(loss)(v1, mb)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
