@@ -116,11 +116,21 @@ class MixFFN(nn.Module):
 
 
 class EncoderBlock(nn.Module):
+    """remat_ffn: Mix-FFN's backward otherwise saves two (B, N, dim*ratio)
+    hidden temps (fc1 out and the dwconv out feeding GELU) — at b128 stage 1
+    that is 196 MB each across 3 blocks x 2 siamese passes, the dominant
+    HBM term after the decoder-tail fix (docs/performance.md r5). Remat
+    keeps only the (B, N, dim) input and recomputes the two cheap matmuls
+    plus the depthwise conv in backward. "auto" enables it in training when
+    the hidden tensor reaches ~51M elements (b >= 64 at stage 1 / b >= 128
+    at stage 2); True/False force it (exactness pinned by test)."""
+
     dim: int
     num_heads: int
     mlp_ratio: int
     sr_ratio: int
     drop_path: float
+    remat_ffn: Any = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -132,7 +142,17 @@ class EncoderBlock(nn.Module):
         )
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = MixFFN(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(y, h, w, deterministic)
+        use_remat = self.remat_ffn
+        if not isinstance(use_remat, bool):
+            hidden_elems = x.shape[0] * x.shape[1] * self.dim * self.mlp_ratio
+            use_remat = (not deterministic) and hidden_elems >= 51_000_000
+
+        def ffn(mdl, y):
+            return MixFFN(mdl.dim, mdl.dim * mdl.mlp_ratio, mdl.dtype, name="mlp")(
+                y, h, w, deterministic
+            )
+
+        y = (nn.remat(ffn) if use_remat else ffn)(self, y)
         return x + dp(y, deterministic)
 
 
@@ -147,6 +167,7 @@ class EncoderTransformerV3(nn.Module):
     # the encoder class's 3 default.
     patch_size: int = 7
     drop_path_rate: float = 0.1
+    remat_ffn: Any = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -165,7 +186,8 @@ class EncoderTransformerV3(nn.Module):
             for i in range(self.depths[s]):
                 x_tok = EncoderBlock(
                     self.embed_dims[s], self.num_heads[s], self.mlp_ratios[s],
-                    self.sr_ratios[s], dpr[cur + i], self.dtype, name=f"block{s + 1}_{i}",
+                    self.sr_ratios[s], dpr[cur + i], self.remat_ffn, self.dtype,
+                    name=f"block{s + 1}_{i}",
                 )(x_tok, h, w, det)
             cur += self.depths[s]
             x_tok = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{s + 1}")(x_tok)
@@ -306,11 +328,12 @@ class ChangeFormerV6(nn.Module):
     num_classes: int = 3
     decoder_softmax: bool = True
     tail_chunks: int = 0
+    remat_ffn: Any = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
-        enc = EncoderTransformerV3(dtype=self.dtype, name="Tenc_x2")
+        enc = EncoderTransformerV3(remat_ffn=self.remat_ffn, dtype=self.dtype, name="Tenc_x2")
         f1, f2 = enc(x1, train), enc(x2, train)
         return DecoderTransformerV3(
             self.embed_dim, self.num_classes, self.decoder_softmax,

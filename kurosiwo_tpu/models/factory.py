@@ -139,6 +139,7 @@ def initialize_cd_model(config: dict, model_config: dict, phase: str = "train"):
             num_classes=nc,
             decoder_softmax=model_config.get("decoder_softmax", True),
             tail_chunks=model_config.get("tail_chunks", 0),
+            remat_ffn=model_config.get("remat_ffn", "auto"),
             dtype=dt,
         )
     if method == "adhr-cdnet":

@@ -152,8 +152,8 @@ def test_changeformer_chunked_tail_exact(base_config):
     docs/performance.md r5) is exactly per-sample: same param tree, same
     outputs, same grads as the unchunked path."""
     cfg = dict(base_config, task="cd", method="changeformer", num_channels=2)
-    m1 = initialize_cd_model(cfg, {"embed_dim": 64, "tail_chunks": 1})
-    m8 = initialize_cd_model(cfg, {"embed_dim": 64, "tail_chunks": 8})
+    m1 = initialize_cd_model(cfg, {"embed_dim": 64, "tail_chunks": 1, "remat_ffn": False})
+    m8 = initialize_cd_model(cfg, {"embed_dim": 64, "tail_chunks": 8, "remat_ffn": True})
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.RandomState(1).randn(8, 32, 32, 2), np.float32)
     v1 = m1.init({"params": rng, "dropout": rng}, x, x, train=False)
