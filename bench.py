@@ -188,6 +188,12 @@ def build_config(model: str, batch: int):
     return cfg
 
 
+def _co_tag(args) -> str:
+    """Metric-label suffix for compiler-option A/B legs ('' on the default path)."""
+    co = getattr(args, "compiler_options", None)
+    return (", " + ",".join(f"{k}={v}" for k, v in co.items())) if co else ""
+
+
 def bench_mae(args, n_dev: int):
     """FloodViT MAE pretraining step (ViT-L dim1024/depth24, mask 0.75)."""
     import jax
@@ -221,6 +227,7 @@ def bench_mae(args, n_dev: int):
         in_shardings=(replicated(plan), batch_sharding(plan), replicated(plan), replicated(plan)),
         out_shardings=(replicated(plan), replicated(plan)),
         donate_argnums=(0,),
+        compiler_options=getattr(args, "compiler_options", None) or None,
     )
     x = {"image": np.random.RandomState(0).randn(batch, 224, 224, 6).astype(np.float32)}
     db = shard_batch(plan, x)
@@ -237,7 +244,7 @@ def bench_mae(args, n_dev: int):
     per_chip = args.steps * batch / dt / n_dev
     emit(
         {
-            "metric": f"224x224 SAR patches/sec/chip (MAE pretrain step, ViT-L, bf16, batch {batch})",
+            "metric": f"224x224 SAR patches/sec/chip (MAE pretrain step, ViT-L, bf16{_co_tag(args)}, batch {batch})",
             "value": round(per_chip, 2),
             "unit": "patches/sec/chip",
             "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
@@ -260,6 +267,11 @@ def main():
                         "f32_eval: true config) instead of the bf16 policy")
     p.add_argument("--set", action="append", default=[], metavar="KEY=JSONVAL",
                    help="config override(s) for A/B experiments, e.g. --set snunet_save_bn_stats=false")
+    p.add_argument("--compiler_opt", action="append", default=[], metavar="FLAG=VAL",
+                   help="per-compile XLA option(s) forwarded via jax.jit(compiler_options=...), "
+                        "e.g. --compiler_opt xla_tpu_scoped_vmem_limit_kib=65536. This is the "
+                        "ONLY route that works through the axon tunnel: client XLA_FLAGS are "
+                        "parsed by the local jaxlib, which fatals on TPU-only flags.")
     p.add_argument("--fused_tail", default=None, choices=["phase", "plane", "off"],
                    help="loss/metrics tail override; default auto = phase-native "
                         "Pallas kernel for unet on one TPU chip (measured +2.4%%)")
@@ -271,7 +283,13 @@ def main():
     # --f32_eval` leg must not emit a 0-valued row attributable to the
     # bf16 eval leg.
     dtype_tag = "f32-twin" if (args.eval and args.f32_eval) else "bf16"
-    _METRIC_LABEL = f"224x224 SAR patches/sec/chip ({kind}, {args.model}, {dtype_tag})"
+    # compiler-option A/B legs get their own label so a failed/0 row can never
+    # be attributed to the flag-free headline (same rule as the f32-twin tag)
+    args.compiler_options = {}
+    for kv in args.compiler_opt:
+        k, _, v = kv.partition("=")
+        args.compiler_options[k] = v
+    _METRIC_LABEL = f"224x224 SAR patches/sec/chip ({kind}, {args.model}, {dtype_tag}{_co_tag(args)})"
 
     try:
         wait_for_backend()
@@ -357,6 +375,7 @@ def _run_bench(args):
             make_eval_step(eval_model, eval_criterion, cfg, mcfg, task),
             in_shardings=(rep, bsh, rep),
             out_shardings=(rep, rep, rep),
+            compiler_options=args.compiler_options or None,
         )
         for _ in range(args.warmup):
             metric, loss, _aux = jit_eval(state, device_batch, metric)
@@ -371,7 +390,7 @@ def _run_bench(args):
         dtype_tag = "f32-twin" if args.f32_eval else "bf16"
         emit(
             {
-                "metric": f"224x224 SAR patches/sec/chip (eval fwd, {args.model}, {dtype_tag}, batch {batch})",
+                "metric": f"224x224 SAR patches/sec/chip (eval fwd, {args.model}, {dtype_tag}{_co_tag(args)}, batch {batch})",
                 "value": round(per_chip, 2),
                 "unit": "patches/sec/chip",
                 "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),
@@ -387,6 +406,7 @@ def _run_bench(args):
         in_shardings=(rep, bsh, rep, rep, rep),
         out_shardings=(rep, rep, rep),
         donate_argnums=(0,),
+        compiler_options=args.compiler_options or None,
     )
 
     lr = jnp.asarray(1e-3, jnp.float32)
@@ -407,7 +427,7 @@ def _run_bench(args):
     per_chip = patches_per_sec / n_dev
     emit(
         {
-            "metric": f"224x224 SAR patches/sec/chip (train fwd+bwd, {args.model}, bf16, batch {batch})",
+            "metric": f"224x224 SAR patches/sec/chip (train fwd+bwd, {args.model}, bf16{_co_tag(args)}, batch {batch})",
             "value": round(per_chip, 2),
             "unit": "patches/sec/chip",
             "vs_baseline": round(per_chip / BASELINE_PATCHES_PER_SEC, 4),

@@ -232,11 +232,6 @@ def vit_whole_scene_cp(
     the next patch-row multiple if needed (the padding is image content via
     reflect, same as the patch-grid padding `vit_whole_scene` already does).
     """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from .models.vit import Transformer
-
     h, w, c = scene.shape
     ph = -(-h // patch_size) * patch_size
     pw = -(-w // patch_size) * patch_size
@@ -249,6 +244,22 @@ def vit_whole_scene_cp(
             f"{axis_name!r}={n_shards}; pad the scene so the patch grid is a "
             f"multiple of the ring size"
         )
+
+    encode = _scene_encoder_cp(mesh, axis_name, patch_size, dim, depth, heads,
+                               mlp_dim, dim_head, dtype, gh, gw)
+    return encode(encoder_params, jnp.asarray(padded[None], dtype))
+
+
+@functools.lru_cache(maxsize=8)
+def _scene_encoder_cp(mesh, axis_name, patch_size, dim, depth, heads, mlp_dim,
+                      dim_head, dtype, gh, gw):
+    """Jitted CP scene encoder, cached per (mesh, architecture, grid) like
+    `_scene_encoder` — rebuilding the shard_map closure per call would pay a
+    full remote compile for every scene of a repeated size."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .models.vit import Transformer
 
     transformer = Transformer(dim, depth, heads, dim_head, mlp_dim, dtype,
                               ring_axis=axis_name)
@@ -264,7 +275,7 @@ def vit_whole_scene_cp(
         check_rep=False,
     )
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def encode(p, x):
         tokens = _embed_scene_tokens(p, x, patch_size, dtype, gh, gw)
         tokens = jax.lax.with_sharding_constraint(
@@ -272,7 +283,7 @@ def vit_whole_scene_cp(
         )
         return ring(p["transformer"], tokens)
 
-    return encode(encoder_params, jnp.asarray(padded[None], dtype))
+    return encode
 
 
 def load_variables(checkpoint: str, model, config: dict, example_shape) -> dict:

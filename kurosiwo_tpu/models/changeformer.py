@@ -97,6 +97,19 @@ class EfficientAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+def _tail_chunk_count(requested: int, batch: int) -> int:
+    """Largest divisor of `batch` that is <= `requested` (>= 1).
+
+    An explicitly requested chunk count that doesn't divide the batch
+    degrades to the nearest usable divisor — exactness holds for any
+    divisor, and silently falling all the way to 1 would reintroduce the
+    b128 HBM OOM the chunked tail exists to fix (docs/performance.md r5)."""
+    nc = max(1, min(requested, batch))
+    while nc > 1 and batch % nc != 0:
+        nc -= 1
+    return nc
+
+
 class MixFFN(nn.Module):
     dim: int
     hidden: int
@@ -297,8 +310,7 @@ class DecoderTransformerV3(nn.Module):
         nc = self.tail_chunks
         if nc == 0:
             nc = 8 if (train and b >= 64 and b % 8 == 0) else 1
-        if nc > 1 and b % nc != 0:
-            nc = 1
+        nc = _tail_chunk_count(nc, b)
         if nc > 1:
             xs = fused.reshape(nc, b // nc, *fused.shape[1:])
 

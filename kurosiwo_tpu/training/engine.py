@@ -128,16 +128,27 @@ class TaskEngine:
 
         bsh = batch_sharding(self.plan)
         rep = replicated(self.plan)
+        # per-compile XLA options (config key `compiler_options`, a
+        # {flag: value} dict). This is the ONLY way to set backend-owned
+        # flags on the axon stack: client XLA_FLAGS are parsed by the local
+        # jaxlib, which fatals on TPU-only flags before the compile RPC.
+        # Options demonstrably reach the remote compiler (a garbage name
+        # fails the compile); measured A/B results live in
+        # docs/performance.md — the scoped-VMEM sweep REGRESSED, so nothing
+        # is defaulted here.
+        copts = config.get("compiler_options") or None
         self._train_step = jax.jit(
             self._train_step_fn,
             in_shardings=(rep, bsh, rep, rep, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0,),
+            compiler_options=copts,
         )
         self._eval_step = jax.jit(
             self._eval_step_fn,
             in_shardings=(rep, bsh, rep),
             out_shardings=(rep, rep, rep),
+            compiler_options=copts,
         )
 
     # ------------------------------------------------------------------

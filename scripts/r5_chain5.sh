@@ -1,4 +1,11 @@
 #!/usr/bin/env bash
+# SUPERSEDED by r5_chain5b.sh — this route is INVALID and the script is kept
+# only as the record of the measured dead end (docs/performance.md r5): the
+# CLIENT jaxlib parses XLA_FLAGS at startup and fatals on TPU-only flags
+# (F parse_flags_from_env: Unknown flag), so no leg below can ever reach the
+# remote compiler; bench.py --compiler_opt (jit compiler_options) is the
+# working mechanism. Do not run this script.
+#
 # Round-5 TPU chain 5 (strictly after chain4): scoped-VMEM XLA-flag A/B on
 # the UNet b128 headline. xla_tpu_scoped_vmem_limit_kib bounds the VMEM XLA
 # may give a single fusion/conv; the v5e default (16 MB) can force smaller

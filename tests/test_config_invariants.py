@@ -82,3 +82,33 @@ def test_factory_read_keys_survive_unrelated_override():
         assert base["model_config"].get(k) == ov["model_config"].get(k), (
             f"unrelated override changed factory-read key {k}"
         )
+
+
+def test_engine_compiler_options_reach_the_compiler(base_config):
+    """Config key `compiler_options` rides jax.jit(compiler_options=...) —
+    the only route to backend-owned XLA flags on the axon stack (client
+    XLA_FLAGS fatal on TPU-only flags). A valid option must train; a garbage
+    option name must fail the compile (proof of forwarding, not a no-op)."""
+    import pytest
+    from kurosiwo_tpu.data.pipeline import Loader
+    from kurosiwo_tpu.models.factory import initialize_cd_model
+    from kurosiwo_tpu.training.engine import TaskEngine
+
+    cfg = dict(
+        base_config, task="cd", method="siam-diff",
+        inputs=["pre_event_1", "post_event"], num_channels=2,
+        batch_size=8, synthetic_size=8, synthetic_patch_size=32,
+        compiler_options={"xla_backend_optimization_level": "2"},
+    )
+    mcfg = {"learning_rate": 1e-3, "lr_schedule": None, "optimizer": "adam"}
+    tr = Loader("train", cfg, 1)
+    engine = TaskEngine(initialize_cd_model(cfg, mcfg), cfg, mcfg, "cd",
+                        steps_per_epoch=len(tr), seed=1, init_size=32)
+    stats = engine.run_train_epoch(tr, 0)
+    assert float(stats["mean_loss"]) > 0.0
+
+    bad = dict(cfg, compiler_options={"xla_not_a_real_flag": "1"})
+    engine2 = TaskEngine(initialize_cd_model(bad, mcfg), bad, mcfg, "cd",
+                         steps_per_epoch=len(tr), seed=1, init_size=32)
+    with pytest.raises(Exception, match="(?i)xla_not_a_real_flag|invalid|unknown"):
+        engine2.run_train_epoch(tr, 0)

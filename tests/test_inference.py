@@ -171,6 +171,32 @@ def test_vit_whole_scene_cp_16k_tokens():
     assert np.isfinite(np.asarray(feats)).all()
 
 
+def test_vit_whole_scene_cp_encoder_cached():
+    """Repeat scenes of the same size reuse ONE jitted shard_map closure —
+    rebuilding it per call would pay a full remote compile per scene."""
+    import jax.numpy as jnp
+    from kurosiwo_tpu.inference import _scene_encoder_cp
+
+    args = ("seq", 16, 32, 1, 2, 64, 16, jnp.float32, 8, 16)
+    e1 = _scene_encoder_cp(_mesh8(), *args)
+    e2 = _scene_encoder_cp(_mesh8(), *args)  # fresh-but-equal Mesh object
+    assert e1 is e2
+
+
+def test_changeformer_tail_chunk_count_degrades_to_divisor():
+    """A requested chunk count that doesn't divide the batch picks the
+    largest usable divisor instead of silently running unchunked (which
+    would reintroduce the b128 OOM the option exists to fix)."""
+    from kurosiwo_tpu.models.changeformer import _tail_chunk_count
+
+    assert _tail_chunk_count(8, 128) == 8
+    assert _tail_chunk_count(8, 100) == 5   # largest divisor of 100 <= 8
+    assert _tail_chunk_count(5, 8) == 4
+    assert _tail_chunk_count(3, 7) == 1     # prime batch: only 1 divides
+    assert _tail_chunk_count(16, 8) == 8    # clamped to batch
+    assert _tail_chunk_count(1, 64) == 1
+
+
 def test_vit_whole_scene_cp_rejects_indivisible_grid():
     import jax.numpy as jnp
     import pytest
