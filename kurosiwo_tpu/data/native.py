@@ -12,28 +12,48 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+_INIT_LOCK = threading.Lock()
 
 
 def _build_and_load():
+    """First call builds+loads the .so; thread-safe. Without the lock, the
+    decode thread pool's first epoch races here: two g++ processes writing
+    the same output file (CDLL of a truncated .so), and a thread seeing
+    _TRIED=True mid-build with _LIB still None can latch the caller's
+    'native disabled' fallback for the whole process."""
     global _LIB, _TRIED
-    if _TRIED:
+    if _TRIED:  # fast path, safe: _TRIED only flips under the lock
         return _LIB
-    _TRIED = True
+    with _INIT_LOCK:
+        if _TRIED:
+            return _LIB
+        lib = _build_and_load_locked()
+        _LIB = lib
+        _TRIED = True
+        return _LIB
+
+
+def _build_and_load_locked():
     src = Path(__file__).resolve().parents[2] / "native" / "tile_decoder.cpp"
     so = Path(__file__).resolve().parents[2] / "native" / "libks_tiles.so"
     try:
         if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            # compile to a temp name and rename (atomic on POSIX) so a
+            # CONCURRENT PROCESS loading the path never sees a partial file
+            tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(so), str(src),
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src),
                  "-ldl", "-lpthread"],
                 check=True, capture_output=True,
             )
+            tmp.replace(so)
         lib = ctypes.CDLL(str(so))
         lib.ks_available.restype = ctypes.c_int
         if not lib.ks_available():
@@ -50,10 +70,9 @@ def _build_and_load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
-        _LIB = lib
+        return lib
     except (subprocess.CalledProcessError, OSError):
-        _LIB = None
-    return _LIB
+        return None
 
 
 def available() -> bool:

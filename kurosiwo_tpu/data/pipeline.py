@@ -42,6 +42,32 @@ def _needs_stats(config) -> bool:
     return mode in ("min-max", "custom") or isinstance(mode, (list, tuple))
 
 
+def resolve_process_grid(batch_size: int, process_index=None, process_count=None):
+    """Shared multi-host contract for every loader (GRD/SLC/SSL): batch_size
+    is the GLOBAL batch, all processes draw the same epoch indices, each
+    decodes only its contiguous row block (parallel/distributed.py).
+    Returns (process_index, process_count, local_batch_size); raises on
+    indivisible batches (tail rows would silently never decode)."""
+    if process_index is None or process_count is None:
+        import jax
+
+        process_index, process_count = jax.process_index(), jax.process_count()
+    process_index, process_count = int(process_index), int(process_count)
+    if batch_size % process_count:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by process count "
+            f"{process_count} (tail rows would silently never decode)"
+        )
+    return process_index, process_count, batch_size // process_count
+
+
+def epoch_rng(seed: int, mode: str) -> np.random.Generator:
+    """Per-split epoch rng. zlib.crc32, NOT hash(): str hash is salted per
+    process (PYTHONHASHSEED), which would silently desynchronize multi-host
+    epoch shuffles."""
+    return np.random.default_rng(seed + zlib.crc32(mode.encode()) % 65536)
+
+
 class Loader:
     """Iterable over batches for one split."""
 
@@ -67,6 +93,17 @@ class Loader:
         self.synthetic = synthetic
 
         if synthetic:
+            if _needs_stats(config):
+                # min-max/custom/[min,max] scaling reads the per-activation
+                # stats table (normalize.scale_img); synthetic activation ids
+                # are in no stats table, so without this the misconfiguration
+                # surfaces as a bare TypeError inside a decode worker thread
+                raise ValueError(
+                    f"scale_input={config.get('scale_input')!r} needs per-activation "
+                    "min/max stats, which do not exist for the synthetic data source "
+                    "(corpus missing or synthetic_data=true); use scale_input="
+                    "\"normalize\" or null for synthetic runs"
+                )
             n = int(config.get("synthetic_size", {"train": 256, "val": 64, "test": 64}.get(mode, 64)))
             acts = config.get(f"{mode}_acts") or [130]
             self.records = synthetic_records(n, list(acts), seed)
@@ -84,7 +121,13 @@ class Loader:
             # the stats pass below doesn't rebuild every split's index per
             # Loader (9 GridIndex walks instead of 3 on real corpora)
             cache = index_cache if index_cache is not None else {}
-            index = cache.setdefault(mode, GridIndex(mode, config))
+            # NOT cache.setdefault(m, GridIndex(...)): setdefault evaluates
+            # its default eagerly, so the cached-key case would still pay the
+            # full build_records walk (~700k-iteration Python filter on the
+            # real corpus) and throw it away — 12 builds instead of 3
+            if mode not in cache:
+                cache[mode] = GridIndex(mode, config)
+            index = cache[mode]
             self.records = index.records
             self.positive_records = index.positive_records
             self.negative_records = index.negative_records
@@ -94,28 +137,17 @@ class Loader:
                 # update_min_max_stats walks train+val+test, Dataset.py:493-520)
                 all_records = []
                 for m in ("train", "val", "test"):
-                    all_records.extend(cache.setdefault(m, GridIndex(m, config)).records)
+                    if m not in cache:
+                        cache[m] = GridIndex(m, config)
+                    all_records.extend(cache[m].records)
                 self.stats = compute_min_max_stats(all_records, str(root), config)
 
         self.oversampling = bool(config.get("oversampling")) and mode == "train"
-        # zlib.crc32, NOT hash(): str hash is salted per process (PYTHONHASHSEED),
-        # which would silently desynchronize multi-host epoch shuffles
-        self._rng = np.random.default_rng(seed + zlib.crc32(mode.encode()) % 65536)
+        self._rng = epoch_rng(seed, mode)
         self._epoch = 0
-
-        # multi-host: batch_size is the GLOBAL batch; all processes draw the
-        # same epoch indices (same seed), each decodes only its contiguous
-        # row block of every batch (parallel/distributed.py contract)
-        if process_index is None or process_count is None:
-            import jax
-
-            process_index, process_count = jax.process_index(), jax.process_count()
-        self.process_index, self.process_count = int(process_index), int(process_count)
-        if self.batch_size % self.process_count:
-            raise ValueError(
-                f"batch_size {self.batch_size} not divisible by process count {self.process_count}"
-            )
-        self.local_batch_size = self.batch_size // self.process_count
+        self.process_index, self.process_count, self.local_batch_size = (
+            resolve_process_grid(self.batch_size, process_index, process_count)
+        )
 
         # packed-shard fast path (data/shards.py): one memmap slice per
         # sample instead of ~9 GeoTIFF opens; falls through to tile decode
@@ -128,6 +160,8 @@ class Loader:
             split_dir = Path(shard_root) / mode
             if (split_dir / "manifest.json").is_file():
                 self.shard_reader = ShardReader(split_dir)
+                # stale-pack guard: shard bytes bake in the decode config
+                self.shard_reader.check_decode_config(config)
 
     # -- sampling ---------------------------------------------------------
     def __len__(self):
@@ -146,18 +180,24 @@ class Loader:
         if self.oversampling and self.negative_records and self.positive_records:
             # 50/50 positive/negative draws, seeded (Dataset.py:641-651);
             # a split with either side empty falls back to a plain shuffle
-            # (rng.integers(0, 0) would raise at the first draw)
-            draws = []
-            npos, nneg = len(self.positive_records), len(self.negative_records)
-            by_id = {id(r): i for i, r in enumerate(self.records)}
-            pos_ids = [by_id[id(r)] for r in self.positive_records]
-            neg_ids = [by_id[id(r)] for r in self.negative_records]
-            for _ in range(n):
-                if self._rng.integers(0, 2) == 0:
-                    draws.append(pos_ids[self._rng.integers(0, npos)])
-                else:
-                    draws.append(neg_ids[self._rng.integers(0, nneg)])
-            return np.asarray(draws)
+            # (rng.integers(0, 0) would raise at the first draw).
+            # Vectorized: the per-draw scalar loop was ~1.4M Generator calls
+            # plus three rebuilt identity maps per EPOCH on a 700k-record
+            # corpus — seconds of single-threaded host stall at every epoch
+            # boundary. The id maps are cached (records don't change between
+            # epochs; the cache is only consulted when both partitions are
+            # non-empty, so post-hoc single-sided splits still fall through).
+            if getattr(self, "_oversample_ids", None) is None:
+                by_id = {id(r): i for i, r in enumerate(self.records)}
+                self._oversample_ids = (
+                    np.asarray([by_id[id(r)] for r in self.positive_records]),
+                    np.asarray([by_id[id(r)] for r in self.negative_records]),
+                )
+            pos_ids, neg_ids = self._oversample_ids
+            coin = self._rng.integers(0, 2, n)
+            pos_draw = pos_ids[self._rng.integers(0, len(pos_ids), n)]
+            neg_draw = neg_ids[self._rng.integers(0, len(neg_ids), n)]
+            return np.where(coin == 0, pos_draw, neg_draw)
         perm = self._rng.permutation(n)
         return perm
 

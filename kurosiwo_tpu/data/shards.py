@@ -59,11 +59,12 @@ class ShardWriter:
     """Streams RawSamples into fixed-record shards + manifest."""
 
     def __init__(self, out_dir: str | os.PathLike, img_dtype: str = "float16",
-                 records_per_shard: int = 512):
+                 records_per_shard: int = 512, decode_config: dict | None = None):
         self.dir = Path(out_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.img_dtype = img_dtype
         self.records_per_shard = records_per_shard
+        self.decode_config = decode_config
         self.fields = None
         self.record_nbytes = 0
         self.keys: list[str] = []
@@ -104,6 +105,8 @@ class ShardWriter:
             "shards": self._shards,
             "keys": self.keys,
         }
+        if self.decode_config is not None:
+            manifest["decode_config"] = self.decode_config
         with open(self.dir / "manifest.json", "w") as f:
             json.dump(manifest, f)
 
@@ -120,8 +123,30 @@ class ShardReader:
         self.record_nbytes = m["record_nbytes"]
         self.per_shard = m["records_per_shard"]
         self.shards = m["shards"]
+        self.decode_config = m.get("decode_config")  # None on legacy packs
         self.rows = {k: i for i, k in enumerate(m["keys"])}
         self._maps: dict[int, np.memmap] = {}
+
+    def check_decode_config(self, config: dict) -> None:
+        """Raise if this pack was written under a different decode config —
+        a stale pack otherwise silently serves data decoded under old
+        channels/clamp/uint8/DEM settings (channel-count changes at least
+        fail on shape; clamp/uint8 changes do not). Legacy packs without a
+        fingerprint are accepted as-is."""
+        if self.decode_config is None:
+            return
+        want = decode_fingerprint(config)
+        if want != self.decode_config:
+            diff = {
+                k: (self.decode_config.get(k), want.get(k))
+                for k in set(want) | set(self.decode_config)
+                if self.decode_config.get(k) != want.get(k)
+            }
+            raise ValueError(
+                f"packed shards at {self.dir} were written under a different "
+                f"decode config (packed vs current): {diff}; re-pack the split "
+                "or align the config"
+            )
 
     def __contains__(self, key: str) -> bool:
         return key in self.rows
@@ -172,6 +197,29 @@ class ShardReader:
         )
 
 
+def decode_fingerprint(config: dict) -> dict:
+    """The config keys that change what a decoded RawSample CONTAINS (not
+    how it is normalized on device — that runs per-step from the live
+    config). A pack made under one fingerprint silently serves wrong data
+    under another: channel stack, clamping, uint8 quantization and the DEM
+    band's host-side standardization are all baked into the shard bytes."""
+    fp = {
+        "channels": list(config.get("channels", [])),
+        "clamp_input": config.get("clamp_input"),
+        "uint8": bool(config.get("uint8")),
+        "dem": bool(config.get("dem")),
+        "slope": bool(config.get("slope")),
+        "slc": bool(config.get("slc")),
+        # read_dem standardizes host-side iff scale_input is set
+        "dem_standardized": config.get("scale_input") is not None,
+    }
+    if fp["dem"] and fp["dem_standardized"]:
+        for k in ("dem_mean", "dem_std", "slope_mean", "slope_std"):
+            if k in config:
+                fp[k] = config[k]
+    return fp
+
+
 def pack_split(loader, out_dir: str | os.PathLike, img_dtype: str = "float16",
                records_per_shard: int = 512, workers: int = 8) -> int:
     """Pack every record a Loader can decode into `out_dir`. Returns the
@@ -183,7 +231,8 @@ def pack_split(loader, out_dir: str | os.PathLike, img_dtype: str = "float16",
     layout is identical to a serial pack."""
     from concurrent.futures import ThreadPoolExecutor
 
-    w = ShardWriter(out_dir, img_dtype=img_dtype, records_per_shard=records_per_shard)
+    w = ShardWriter(out_dir, img_dtype=img_dtype, records_per_shard=records_per_shard,
+                    decode_config=decode_fingerprint(loader.config))
     if workers <= 1:
         for rec in loader.records:
             w.add(rec.id, loader._read(rec))

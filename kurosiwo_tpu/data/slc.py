@@ -23,13 +23,11 @@ import json
 import os
 from pathlib import Path
 
-import zlib
-
 import numpy as np
 
 from .index import Record
 from .normalize import normalize
-from .pipeline import Loader
+from .pipeline import Loader, epoch_rng, resolve_process_grid
 from .tiles import RawSample, _imread, interpolate_nan, horn_slope
 
 try:
@@ -136,18 +134,14 @@ class SLCLoader(Loader):
         self.negative_records = []
         self.stats = None
         self.oversampling = False
-        # zlib.crc32, NOT hash(): str hash is salted per process (PYTHONHASHSEED),
-        # which would silently desynchronize multi-host epoch shuffles
-        self._rng = np.random.default_rng(seed + zlib.crc32(mode.encode()) % 65536)
+        self._rng = epoch_rng(seed, mode)
         self._epoch = 0
-        import jax
-
-        self.process_index, self.process_count = jax.process_index(), jax.process_count()
-        if self.batch_size % self.process_count:
-            raise ValueError(
-                f"batch_size {self.batch_size} not divisible by process count {self.process_count}"
-            )
-        self.local_batch_size = self.batch_size // self.process_count
+        # no shard fast path for SLC rasters (4-channel layout untested in
+        # the packer); Loader._read is overridden below anyway
+        self.shard_reader = None
+        self.process_index, self.process_count, self.local_batch_size = (
+            resolve_process_grid(self.batch_size)
+        )
 
     def _read(self, record: Record) -> RawSample:
         cfg = self.config

@@ -105,14 +105,11 @@ class SSLLoader:
             self.samples = self.samples[: int(n_per_epoch)]
         self._rng = np.random.default_rng(seed)
         self._seed = seed
-        import jax
+        from .pipeline import resolve_process_grid
 
-        self.process_index, self.process_count = jax.process_index(), jax.process_count()
-        if self.batch_size % self.process_count:
-            raise ValueError(
-                f"batch_size {self.batch_size} not divisible by process count "
-                f"{self.process_count} (tail rows would silently never decode)")
-        self.local_batch_size = self.batch_size // self.process_count
+        self.process_index, self.process_count, self.local_batch_size = (
+            resolve_process_grid(self.batch_size)
+        )
 
     def __len__(self):
         return len(self.samples) // self.batch_size

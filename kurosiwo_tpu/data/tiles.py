@@ -167,11 +167,19 @@ def read_dem(path: str, config: dict) -> np.ndarray:
 
 def _to_uint8(img: np.ndarray) -> np.ndarray:
     """uint8 mode (Dataset.py:674-679): scale each raster by its max to
-    [0, 255] and quantize."""
-    m = float(img.max())
-    if m > 0:
-        img = img / m
-    return (img * 255).astype(np.uint8).astype(np.float32)
+    [0, 255] and quantize.
+
+    Hardened like slc._maybe_uint8: this runs BEFORE stack_channels'
+    nan_to_num, so scattered NaNs reach the cast — img.max() is then NaN
+    (skipping the scale) and NaN->uint8 is C-undefined, platform-dependent
+    garbage. NaNs are replaced and the value range clipped before the cast
+    (fill 0 = nodata/darkest, same choice as the SLC path); the reference
+    has the same latent UB."""
+    m = float(np.nanmax(img)) if np.isfinite(img).any() else 1.0
+    if not np.isfinite(m) or m <= 0.0:
+        m = 1.0
+    scaled = np.nan_to_num(img / m * 255.0, nan=0.0, posinf=255.0, neginf=0.0)
+    return np.clip(scaled, 0.0, 255.0).astype(np.uint8).astype(np.float32)
 
 
 def read_raw_sample(root_path: str, record, config: dict) -> RawSample:

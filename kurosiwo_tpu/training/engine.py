@@ -121,8 +121,12 @@ class TaskEngine:
             import dataclasses
 
             eval_model = dataclasses.replace(self.model, dtype=jnp.float32)
+        self.viz_enabled = bool(
+            config.get("wandb_activate") or config.get("save_visualizations")
+        )
         self._eval_step_fn = make_eval_step(
-            eval_model, eval_criterion, config, model_config, task, with_aoi=with_aoi
+            eval_model, eval_criterion, config, model_config, task,
+            with_aoi=with_aoi, with_preds=self.viz_enabled,
         )
         self.with_aoi = with_aoi
 
@@ -260,9 +264,9 @@ class TaskEngine:
         metric_state = MetricState.create()
         aoi = HostAOIMetrics() if self.with_aoi else None
         # one random batch gets its first sample visualized, like the
-        # reference's wandb.Image logging (segmentation_trainer.py:516-587)
-        viz_enabled = bool(self.config.get("wandb_activate") or self.config.get("save_visualizations"))
-        viz_index = int(np.random.randint(0, max(len(loader), 1))) if viz_enabled else -1
+        # reference's wandb.Image logging (segmentation_trainer.py:516-587);
+        # the eval step only emits preds when this is on (aux gating)
+        viz_index = int(np.random.randint(0, max(len(loader), 1))) if self.viz_enabled else -1
         for index, batch in enumerate(loader):
             device_batch = shard_batch(self.plan, batch)
             metric_state, loss, aux = self._eval_step(self.state, device_batch, metric_state)

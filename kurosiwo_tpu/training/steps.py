@@ -116,7 +116,6 @@ def make_train_step(
     config: dict,
     model_config: dict,
     task: str = "segmentation",
-    with_aoi: bool = False,
     with_grad_norm: bool = False,
     with_watch: bool = False,
 ):
@@ -253,7 +252,12 @@ def make_eval_step(
     model_config: dict,
     task: str = "segmentation",
     with_aoi: bool = False,
+    with_preds: bool = False,
 ):
+    """with_preds gates the (B, H, W) prediction map out of aux: the engine
+    only reads it for the one visualization batch per eval, but a replicated
+    out_sharding all-gathers it on EVERY eval step on a mesh (~25 MB/batch
+    at b128) — so it is emitted only when a consumer exists."""
     assemble = {
         "segmentation": assemble_segmentation_input,
         "cd": assemble_cd_inputs,
@@ -292,7 +296,8 @@ def make_eval_step(
         aux = {}
         if with_aoi:
             aux["per_sample_cm"] = per_sample_confusion(preds, mask)
-        aux["preds"] = preds
+        if with_preds:
+            aux["preds"] = preds
         return metric_state, loss, aux
 
     return eval_step

@@ -112,3 +112,24 @@ def test_engine_compiler_options_reach_the_compiler(base_config):
                          steps_per_epoch=len(tr), seed=1, init_size=32)
     with pytest.raises(Exception, match="(?i)xla_not_a_real_flag|invalid|unknown"):
         engine2.run_train_epoch(tr, 0)
+
+
+def test_eval_viz_path_emits_preds_and_png(base_config, tmp_path):
+    """The eval step only carries preds in aux when a consumer exists
+    (viz/wandb); this drives the save_visualizations consumer end to end so
+    the gating can never silently strand _log_visualization."""
+    from kurosiwo_tpu.data.pipeline import Loader
+    from kurosiwo_tpu.models.factory import initialize_segmentation_model
+    from kurosiwo_tpu.training.engine import TaskEngine
+
+    cfg = dict(
+        base_config, batch_size=8, synthetic_size=8, synthetic_patch_size=32,
+        save_visualizations=True, checkpoint_path=str(tmp_path),
+    )
+    mcfg = {"backbone": "resnet18", "learning_rate": 1e-3, "lr_schedule": None,
+            "optimizer": "adam"}
+    va = Loader("val", cfg, 1)
+    engine = TaskEngine(initialize_segmentation_model(cfg, mcfg), cfg, mcfg,
+                        "segmentation", steps_per_epoch=1, seed=1, init_size=32)
+    engine.run_eval(va, settype="Val")
+    assert (tmp_path / "viz" / "val_sample.png").is_file()

@@ -166,3 +166,30 @@ def test_diffusion_eval_padding(base_config):
     # 6 records x 3 observation types = 18 samples -> 5 batches, last padded
     assert all(b["image"].shape[0] == 4 for b in batches)
     assert batches[-1]["sample_weight"].min() == 0.0
+
+
+def test_synthetic_with_stats_scaling_rejected_loudly(base_config):
+    """min-max/custom scaling needs the per-activation stats table, which the
+    synthetic source cannot have — must fail at construction, not as a
+    TypeError inside a decode worker thread."""
+    import pytest
+
+    for mode in ("min-max", "custom", [0.0, 1.0]):
+        cfg = dict(base_config, scale_input=mode)
+        with pytest.raises(ValueError, match="stats"):
+            Loader("train", cfg, seed=1, synthetic=True,
+                   process_index=0, process_count=1)
+
+
+def test_grd_uint8_nan_and_range_hardened():
+    """GRD _to_uint8 mirrors slc._maybe_uint8: NaNs and out-of-range values
+    must never reach the C-undefined float->uint8 cast."""
+    from kurosiwo_tpu.data.tiles import _to_uint8
+
+    img = np.array([[0.5, np.nan], [-0.25, 1.0]], np.float32)
+    out = _to_uint8(img)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, [[127.0, 0.0], [0.0, 255.0]])
+    # all-NaN and all-negative rasters: deterministic, no scale blowup
+    assert np.all(_to_uint8(np.full((2, 2), np.nan, np.float32)) == 0.0)
+    assert np.all(_to_uint8(np.full((2, 2), -3.0, np.float32)) == 0.0)

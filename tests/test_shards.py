@@ -90,3 +90,41 @@ def test_pack_without_dem(tmp_path):
     assert packed.dem is None
     np.testing.assert_array_equal(packed.post, direct.post)
     np.testing.assert_array_equal(packed.mask, direct.mask)
+
+
+def test_stale_pack_decode_config_mismatch_raises(tmp_path):
+    """A pack made under one decode config must not silently serve data to a
+    loader configured differently (clamp/uint8 changes don't even fail on
+    shape) — the manifest fingerprint makes it loud."""
+    import pytest
+
+    src = Loader("train", _cfg(), seed=3, synthetic=True,
+                 process_index=0, process_count=1)
+    pack_split(src, tmp_path / "train", img_dtype="float32", records_per_shard=8)
+
+    with pytest.raises(ValueError, match="decode config"):
+        Loader("train", _cfg(packed_shards=str(tmp_path), clamp_input=0.3),
+               seed=3, synthetic=True, process_index=0, process_count=1)
+    with pytest.raises(ValueError, match="decode config"):
+        Loader("train", _cfg(packed_shards=str(tmp_path), uint8=True),
+               seed=3, synthetic=True, process_index=0, process_count=1)
+    # same config still loads
+    ok = Loader("train", _cfg(packed_shards=str(tmp_path)),
+                seed=3, synthetic=True, process_index=0, process_count=1)
+    assert ok.shard_reader is not None
+
+
+def test_legacy_pack_without_fingerprint_accepted(tmp_path):
+    """Packs written before the fingerprint existed load as-is."""
+    import json
+
+    src = Loader("train", _cfg(), seed=3, synthetic=True,
+                 process_index=0, process_count=1)
+    pack_split(src, tmp_path / "train", img_dtype="float32", records_per_shard=8)
+    mpath = tmp_path / "train" / "manifest.json"
+    m = json.loads(mpath.read_text())
+    del m["decode_config"]
+    mpath.write_text(json.dumps(m))
+    ok = Loader("train", _cfg(packed_shards=str(tmp_path), clamp_input=0.3),
+                seed=3, synthetic=True, process_index=0, process_count=1)
+    assert ok.shard_reader is not None
