@@ -257,12 +257,28 @@ def make_eval_step(
     """with_preds gates the (B, H, W) prediction map out of aux: the engine
     only reads it for the one visualization batch per eval, but a replicated
     out_sharding all-gathers it on EVERY eval step on a mesh (~25 MB/batch
-    at b128) — so it is emitted only when a consumer exists."""
+    at b128) — so it is emitted only when a consumer exists.
+
+    config["eval_microbatch"] = M (0/absent = off) runs the eval forward as a
+    lax.scan over B//M micro-chunks inside the one jitted step. Eval has no
+    remat escape hatch (no backward pass to recompute in), so memory-bound
+    eval configs — ChangeFormer's f32 twin at batch 128 keeps five full-res
+    deep-supervision heads live and OOMs 16 GB HBM — get a fit knob that
+    caps live activations at one chunk. Metric banks are EXACT under
+    chunking (confusion-matrix/count accumulation is associative, and
+    per-sample aux rows are concatenated back to (B, ...)); only the LOGGED
+    eval loss changes definition from batch-pixel-mean to mean of
+    chunk-pixel-means (chunks are equal-sized; the difference is the usual
+    mean-of-means reweighting across chunks with different valid-pixel
+    counts). The reference has no equivalent lever — its eval at this
+    config would OOM the same way (change_detection_trainer.py:325 runs
+    full batches under no_grad with autocast off)."""
     assemble = {
         "segmentation": assemble_segmentation_input,
         "cd": assemble_cd_inputs,
         "recurrent": assemble_recurrent_input,
     }[task]
+    microbatch = int(config.get("eval_microbatch") or 0)
 
     def eval_step(state: TrainState, batch: dict, metric_state: MetricState):
         inputs = assemble(batch, config)
@@ -300,4 +316,26 @@ def make_eval_step(
             aux["preds"] = preds
         return metric_state, loss, aux
 
-    return eval_step
+    if not microbatch:
+        return eval_step
+
+    def chunked_eval_step(state: TrainState, batch: dict, metric_state: MetricState):
+        bsz = batch["mask"].shape[0]
+        if bsz <= microbatch or bsz % microbatch:
+            # trace-time fallback: last ragged eval batch (the loader pads to
+            # full batches, but keep the step total for any direct caller)
+            return eval_step(state, batch, metric_state)
+        n_chunks = bsz // microbatch
+        chunks = jax.tree.map(
+            lambda v: v.reshape((n_chunks, microbatch) + v.shape[1:]), batch
+        )
+
+        def body(ms, chunk):
+            ms, loss, aux = eval_step(state, chunk, ms)
+            return ms, (loss, aux)
+
+        metric_state, (losses, auxes) = jax.lax.scan(body, metric_state, chunks)
+        aux = jax.tree.map(lambda v: v.reshape((bsz,) + v.shape[2:]), auxes)
+        return metric_state, jnp.mean(losses), aux
+
+    return chunked_eval_step

@@ -22,5 +22,5 @@ run tests/test_models_extended.py tests/test_multihost.py tests/test_pallas_bn.p
 run tests/test_train_e2e.py   # ~9.5 min: 7 end-to-end trainings
 run tests/test_learning.py    # ~8 min: loss-decrease assertions, 4 task engines
 run tests/test_diffusion_and_utils.py tests/test_parity_harness.py tests/test_shards.py
-run tests/test_resume.py tests/test_bench_robustness.py
+run tests/test_resume.py tests/test_bench_robustness.py tests/test_eval_microbatch.py
 echo "ALL CHUNKS GREEN"
