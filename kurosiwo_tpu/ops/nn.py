@@ -190,6 +190,19 @@ def _use_pallas_dw() -> bool:
     return is_tpu_backend()
 
 
+def _use_stem_s2d() -> bool:
+    """Space-to-depth stem conv (7x7/s2 -> 4x4/s1 on the 2x2-folded input,
+    ops/phase.fold_stem_s2d_kernel) — OPT-IN via KUROSIWO_STEM_S2D=1 for the
+    hardware A/B. Pure-XLA exact reparameterization (no Pallas boundary):
+    quadruples the stem's MXU contraction width (Cin 6 -> 24 of 128 lanes)
+    at a 64/49 tap FLOP cost plus one space-to-depth relayout of the input.
+    The in-step A/B decides whether it ever defaults on; see
+    docs/performance.md for the verdict."""
+    import os
+
+    return os.environ.get("KUROSIWO_STEM_S2D") == "1"
+
+
 class _BNParams(nn.Module):
     """BatchNorm_0-compatible parameter/stat holder for fused conv+BN paths
     (same variable subtree as flax BatchNorm — checkpoints interchangeable).
@@ -250,6 +263,39 @@ class ConvBNAct(nn.Module):
             z = PhaseGroupBatchNorm(
                 use_running_average=not train, groups=4, momentum=0.9,
                 epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0",
+            )(z)
+            if self.act is not None:
+                z = self.act(z)
+            return z
+        if (
+            self.kernel == 7
+            and self.stride == 2
+            and self.dilation == 1
+            and not self.use_bias
+            and (self.padding is None or self.padding == 3)
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and _use_stem_s2d()
+        ):
+            # stem space-to-depth fast path: same canonical parameter tree
+            # (Conv_0/kernel (7,7,Cin,F) + BatchNorm_0) as the standard
+            # branch — the fold happens at trace time, checkpoints are
+            # interchangeable. Cast-then-fold == fold-then-cast (the fold is
+            # zero-padding + permutation), so per-weight values match the
+            # standard path bit-exactly; only the conv's summation order
+            # differs.
+            from .phase import fold_stem_s2d_kernel, space_to_depth
+
+            kernel, _ = ConvParams((7, 7, x.shape[-1], self.features), name="Conv_0")()
+            z = jax.lax.conv_general_dilated(
+                space_to_depth(x.astype(self.dtype)),
+                fold_stem_s2d_kernel(kernel).astype(self.dtype),
+                (1, 1),
+                [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            z = FusedBatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
             )(z)
             if self.act is not None:
                 z = self.act(z)

@@ -197,6 +197,28 @@ def fold_tconv2x_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return k.reshape(1, 1, cin, 4 * cout)
 
 
+def fold_stem_s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Canonical 7x7 stem kernel (7, 7, Cin, Cout) -> (4, 4, 4*Cin, Cout)
+    such that (stride-2, pad-3 correlation)
+
+      conv7x7_s2_p3(x, w) == conv4x4_s1(space_to_depth(x), K)  with
+      padding ((2, 1), (2, 1)).
+
+    Why: the ResNet stem contracts over only Cin=6 of the MXU's 128 K-lanes
+    (docs/performance.md "small-channel lane padding"); folding the input
+    2x2 quadruples the contraction width (6 -> 24) at a 64/49 tap-slot cost
+    (the (ta=0, p=0) slots are structural zeros). Exact reparameterization:
+    output row i tap k reads x[2i + k - 3] = Z[i + floor((k-3)/2), phase
+    (k-3) mod 2], so the 7 taps land in 4 low-res taps x 2 phases with the
+    k=-1 slot empty — front-padding w to 8x8 makes the fold a pure
+    reshape/transpose (Wp[2*ta + p] = W[2*ta + p - 1])."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (7, 7), "stem fold is the 7x7/s2/p3 geometry"
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k = wp.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return k.reshape(4, 4, 4 * cin, cout)
+
+
 def phase_1x1_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """Canonical 1x1 kernel (1, 1, C, O) -> block-diagonal phase kernel
     (1, 1, 4C, 4O): each phase group maps through the same 1x1 conv."""

@@ -138,3 +138,51 @@ def test_conv_transpose2x_via_phase_matches_dilated():
     gb = jax.grad(lambda p: jnp.sum(b.apply(p, x) ** 2))(v)
     for p, q in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=2e-4, rtol=1e-4)
+
+
+def test_fold_stem_s2d_kernel_exact():
+    """conv7x7/s2/p3(x, W) == conv4x4/s1/p(2,1)(space_to_depth(x), fold(W))."""
+    from kurosiwo_tpu.ops.phase import fold_stem_s2d_kernel, space_to_depth
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 14, 20, 3), jnp.float32)
+    w = jnp.asarray(rs.randn(7, 7, 3, 5), jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = lax.conv_general_dilated(
+        space_to_depth(x), fold_stem_s2d_kernel(w), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert got.shape == ref.shape == (2, 7, 10, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_stem_s2d_module_path_matches_standard(monkeypatch):
+    """KUROSIWO_STEM_S2D=1 ConvBNAct stem: identical param tree (checkpoints
+    interchangeable), matching outputs, batch stats and parameter grads."""
+    from kurosiwo_tpu.ops.nn import ConvBNAct
+
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(2, 16, 16, 6), jnp.float32)
+    m = ConvBNAct(8, 7, 2, padding=3)
+    monkeypatch.delenv("KUROSIWO_STEM_S2D", raising=False)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y_std, bs_std = m.apply(v, x, train=True, mutable=["batch_stats"])
+    g_std = jax.grad(lambda p: jnp.sum(m.apply({**v, "params": p["params"]}, x, train=True,
+                                               mutable=["batch_stats"])[0] ** 2))(v)
+
+    monkeypatch.setenv("KUROSIWO_STEM_S2D", "1")
+    v2 = m.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), v, v2)
+    y_s2d, bs_s2d = m.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_std), atol=2e-4, rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4),
+        bs_s2d, bs_std,
+    )
+    g_s2d = jax.grad(lambda p: jnp.sum(m.apply({**v, "params": p["params"]}, x, train=True,
+                                               mutable=["batch_stats"])[0] ** 2))(v)
+    for p, q in zip(jax.tree.leaves(g_s2d), jax.tree.leaves(g_std)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=3e-3, rtol=1e-3)
