@@ -79,24 +79,43 @@ def test_two_process_training_matches_single_process():
     single-process 8-device run to float tolerance."""
     from tests._multihost_worker import run_two_steps
 
-    port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(REPO / "tests" / "_multihost_worker.py"), str(i), "2", str(port)],
-            env=env, cwd=str(REPO),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+
+    def _spawn_pair():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "_multihost_worker.py"), str(i), "2", str(port)],
+                env=env, cwd=str(REPO),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(2)
+        ]
+        outs, rcs = [], []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            rcs.append(p.returncode)
+        return outs, rcs
+
+    # Gloo's cross-process connect window is ~30s; if one worker's
+    # import+trace is slowed by unrelated machine load the rendezvous
+    # times out. That is environmental, not a correctness failure —
+    # retry once on that exact signature before failing.
+    for attempt in range(2):
+        outs, rcs = _spawn_pair()
+        if all(rc == 0 for rc in rcs):
+            break
+        rendezvous_flake = any(
+            "Gloo context initialization failed" in out or "GetKeyValue() timed out" in out
+            for out in outs
         )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-        assert p.returncode == 0, out[-3000:]
+        if attempt == 1 or not rendezvous_flake:
+            for rc, out in zip(rcs, outs):
+                assert rc == 0, out[-3000:]
     multi = {}
     for out in outs:
         for line in out.splitlines():
