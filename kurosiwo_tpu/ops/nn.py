@@ -52,8 +52,130 @@ def conv_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def max_pool(x: jnp.ndarray, window: int = 2, stride: int = 2, padding="VALID") -> jnp.ndarray:
-    """torch MaxPool2d(window, stride) on NHWC."""
+    """torch MaxPool2d(window, stride) on NHWC.
+
+    With KUROSIWO_MAXPOOL_MASK=1, the two pooling geometries the zoo uses
+    (2x2/s2 VALID everywhere; 3x3/s2 pad(1,1) in the ResNet stem,
+    /root/reference/models/bit_cd.py:241-class stems) route through a
+    custom-vjp whose backward is pure elementwise compare+select math
+    instead of XLA's select_and_scatter (a windowed scatter that lowers to
+    its own fusion-fencing op — 2.3% of the UNet train step in the r3
+    profile). Forward is identical (same reduce_window). The backward is
+    the "all argmax ties" subgradient: every in-window position equal to
+    the window max receives dy, where select_and_scatter routes each
+    window's dy to a single argmax. The two differ only on exact bf16
+    ties; for post-ReLU feature maps the dominant tie class (all-zero
+    windows) is gradient-dead anyway because the upstream ReLU backward
+    zeroes those lanes."""
+    if _use_maxpool_mask():
+        b, h, w, c = x.shape
+        if window == 2 and stride == 2 and padding == "VALID" and h % 2 == 0 and w % 2 == 0:
+            return _max_pool_mask_w2s2(x)
+        if (
+            window == 3
+            and stride == 2
+            and padding == [(1, 1), (1, 1)]
+            and h % 2 == 0
+            and w % 2 == 0
+        ):
+            return _max_pool_mask_w3s2(x)
     return nn.max_pool(x, (window, window), strides=(stride, stride), padding=padding)
+
+
+def _use_maxpool_mask() -> bool:
+    """Elementwise mask backward for max pooling — OPT-IN via
+    KUROSIWO_MAXPOOL_MASK=1 for the hardware A/B (pure XLA: no Pallas
+    boundary, so the conv-layout poison class documented in
+    docs/performance.md does not apply). The in-step A/B decides whether
+    it ever defaults on."""
+    import os
+
+    return os.environ.get("KUROSIWO_MAXPOOL_MASK") == "1"
+
+
+@jax.custom_vjp
+def _max_pool_mask_w2s2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+def _max_pool_mask_w2s2_fwd(x):
+    y = _max_pool_mask_w2s2(x)
+    return y, (x, y)
+
+
+def _max_pool_mask_w2s2_bwd(res, dy):
+    x, y = res
+    b, ho, wo, c = y.shape
+    # non-overlapping windows: broadcast y/dy back to the input grid
+    # (integer-factor nearest up == broadcast+reshape, the measured
+    # replacement for gather-based resize on this hardware)
+    shape6 = (b, ho, 2, wo, 2, c)
+    yu = jnp.broadcast_to(y[:, :, None, :, None, :], shape6).reshape(x.shape)
+    dyu = jnp.broadcast_to(dy[:, :, None, :, None, :], shape6).reshape(x.shape)
+    return (jnp.where(x == yu, dyu, jnp.zeros((), x.dtype)).astype(x.dtype),)
+
+
+_max_pool_mask_w2s2.defvjp(_max_pool_mask_w2s2_fwd, _max_pool_mask_w2s2_bwd)
+
+
+@jax.custom_vjp
+def _max_pool_mask_w3s2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+
+def _max_pool_mask_w3s2_fwd(x):
+    y = _max_pool_mask_w3s2(x)
+    return y, (x, y)
+
+
+def _max_pool_mask_w3s2_bwd(res, dy):
+    """dx for the 3x3/s2 pad(1,1) pool on even H/W, assembled in phase
+    space. Input row p belongs to output window o when p = 2o-1+t,
+    t in {0,1,2}: even rows (p=2k) see exactly one window (o=k, t=1),
+    odd rows (p=2k+1) see two (o=k t=2, o=k+1 t=0) — 1/2/2/4 terms for
+    the (even,even)/(even,odd)/(odd,even)/(odd,odd) phases, 9 total (the
+    9 taps). All terms are elementwise compares at the output resolution;
+    the phase merge back to the input grid is the broadcast+reshape
+    interleave (no scatter anywhere)."""
+    x, y = res
+    x_ee = x[:, 0::2, 0::2]
+    x_eo = x[:, 0::2, 1::2]
+    x_oe = x[:, 1::2, 0::2]
+    x_oo = x[:, 1::2, 1::2]
+
+    # o = k+1 neighbors; pads are (y=0, dy=0) pairs so the out-of-range
+    # term is exactly zero regardless of the compare
+    def shift_r(a):
+        return jnp.pad(a[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+
+    def shift_c(a):
+        return jnp.pad(a[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+
+    y_r, dy_r = shift_r(y), shift_r(dy)
+    y_c, dy_c = shift_c(y), shift_c(dy)
+    y_rc, dy_rc = shift_c(y_r), shift_c(dy_r)
+
+    zero = jnp.zeros((), x.dtype)
+
+    def term(xp, yv, dv):
+        return jnp.where(xp == yv, dv, zero)
+
+    d_ee = term(x_ee, y, dy)
+    d_eo = term(x_eo, y, dy) + term(x_eo, y_c, dy_c)
+    d_oe = term(x_oe, y, dy) + term(x_oe, y_r, dy_r)
+    d_oo = (
+        term(x_oo, y, dy)
+        + term(x_oo, y_r, dy_r)
+        + term(x_oo, y_c, dy_c)
+        + term(x_oo, y_rc, dy_rc)
+    )
+    b, ho, wo, c = y.shape
+    row_e = jnp.stack([d_ee, d_eo], axis=3).reshape(b, ho, 2 * wo, c)
+    row_o = jnp.stack([d_oe, d_oo], axis=3).reshape(b, ho, 2 * wo, c)
+    return (jnp.stack([row_e, row_o], axis=2).reshape(b, 2 * ho, 2 * wo, c).astype(x.dtype),)
+
+
+_max_pool_mask_w3s2.defvjp(_max_pool_mask_w3s2_fwd, _max_pool_mask_w3s2_bwd)
 
 
 def avg_pool(x: jnp.ndarray, window: int = 2, stride: int = 2, padding="VALID") -> jnp.ndarray:
